@@ -1,0 +1,166 @@
+"""Single-frame FK-GAN epoch orchestration.
+
+Rebuilds the epoch bodies of run_Fk_GAN.py's single-frame mode:
+  * ``reskin_dataset``  <- dataloader_update + random_bl_aug
+    (function_aug/dataloader_update.py:18-107): every epoch the real train
+    3D is re-skinned with random bone-length templates and re-projected.
+    Vectorized over the whole dataset in fixed-size chunks (one XLA program)
+    instead of a DataLoader pass.
+  * ``build_gan`` / ``run_gan_epoch`` <- my_get_poseFk_model +
+    GAN_solutions_FK_generator (model_fk_gan_train.py:97-128, 236-510):
+    critics every iteration, generator every 5th, fakes buffered into the
+    posenet's fake loader.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dhaug_tpu.data.loaders import PoseDataset, PoseTarget
+from dhaug_tpu.gan.wgan import (GanHyper, SingleFrameSteps, camera_bank,
+                                make_single_frame_steps)
+from dhaug_tpu.models.discriminators import Fk2DDiscriminator, Fk3DDiscriminator
+from dhaug_tpu.models.generator import FkGeneratorNet, GeneratorConfig
+from dhaug_tpu.ops.bones import reskin_pose
+from dhaug_tpu.ops.camera import project_to_2d
+from dhaug_tpu.train.state import NetState, adam_gan, make_state
+
+_RESKIN_CHUNK = 16384
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _reskin_chunk(poses_3d, cams, templates, idx):
+    new3d = reskin_pose(poses_3d, templates[idx])
+    new2d = project_to_2d(new3d, cams[:, :9])
+    return new3d, new2d
+
+
+def reskin_dataset(ds: PoseDataset, templates: np.ndarray,
+                   rng: np.random.Generator) -> PoseDataset:
+    """Random bone-length template re-skin of every frame + re-projection.
+    Returns a new PoseDataset (cams unchanged)."""
+    n = len(ds)
+    templates_j = jnp.asarray(templates)
+    out3d = np.empty_like(ds.poses_3d)
+    out2d = np.empty_like(ds.poses_2d)
+    for s in range(0, n, _RESKIN_CHUNK):
+        e = min(s + _RESKIN_CHUNK, n)
+        # fixed chunk shape: pad the tail by repetition
+        pad = _RESKIN_CHUNK - (e - s)
+        sl3 = np.concatenate([ds.poses_3d[s:e], ds.poses_3d[e - 1:e].repeat(pad, 0)]) \
+            if pad else ds.poses_3d[s:e]
+        slc = np.concatenate([ds.cams[s:e], ds.cams[e - 1:e].repeat(pad, 0)]) \
+            if pad else ds.cams[s:e]
+        idx = rng.integers(0, templates.shape[0], size=_RESKIN_CHUNK)
+        new3d, new2d = _reskin_chunk(jnp.asarray(sl3), jnp.asarray(slc),
+                                     templates_j, jnp.asarray(idx))
+        out3d[s:e] = np.asarray(new3d)[: e - s]
+        out2d[s:e] = np.asarray(new2d)[: e - s]
+    return PoseDataset(out3d, out2d, ds.cams)
+
+
+class GanBundle(NamedTuple):
+    gen_state: NetState
+    d3d_state: NetState
+    d2d_state: NetState
+    steps: SingleFrameSteps
+    gen_cfg: GeneratorConfig
+    hyper: GanHyper
+
+
+def build_gan(args, train_subjects, key) -> GanBundle:
+    """Create G + D3d + D2d with Adam(lr, 0.5/0.9) each — the reference's
+    my_get_poseFk_model (model_fk_gan_train.py:97-128)."""
+    gen_cfg = GeneratorConfig(
+        dense_dim=args.Gen_DenseDim,
+        output_dim=args.GAN_OUTPUT_DIM,
+        use_pre_angle=args.GAN_whether_use_preAngle,
+        use_global_rot=args.whether_use_RT,
+        video_frames=1,
+    )
+    hyper = GanHyper(
+        lambda_gp=float(args.GAN_LAMBDA),
+        w3d=args.GAN_3d_loss_weight,
+        w2d=args.GAN_2d_loss_weight,
+        flip=args.flip_GAN_model_input,
+        bone_len_scaler=args.bone_len_scaler,
+    )
+
+    gen = FkGeneratorNet(gen_cfg)
+    d3d = Fk3DDiscriminator(dense_dim=args.Dis_DenseDim_3D)
+    d2d = Fk2DDiscriminator(dense_dim=args.Dis_DenseDim_2D)
+
+    k1, k2, k3 = jax.random.split(key, 3)
+    gen_params = gen.init(k1, jnp.zeros((2, 128)))["params"]
+    d3d_params = d3d.init(k2, jnp.zeros((2, 16, 3)))["params"]
+    d2d_params = d2d.init(k3, jnp.zeros((2, 16, 2)))["params"]
+
+    gen_tx = adam_gan(args.lr_g)
+    d3d_tx = adam_gan(args.lr_d)
+    d2d_tx = adam_gan(args.lr_d)
+
+    quats, trans, intrs = camera_bank(train_subjects)
+    steps = make_single_frame_steps(
+        lambda p, x: gen.apply({"params": p}, x),
+        lambda p, x: d3d.apply({"params": p}, x),
+        lambda p, x: d2d.apply({"params": p}, x),
+        d3d_tx, d2d_tx, gen_tx, gen_cfg, hyper, quats, trans, intrs)
+
+    return GanBundle(
+        gen_state=make_state(gen_tx, gen_params),
+        d3d_state=make_state(d3d_tx, d3d_params),
+        d2d_state=make_state(d2d_tx, d2d_params),
+        steps=steps, gen_cfg=gen_cfg, hyper=hyper)
+
+
+def run_gan_epoch(gan: GanBundle, gt2d3d: PoseDataset, target_2d: PoseTarget,
+                  target_3d: PoseTarget, batch_size: int,
+                  np_rng: np.random.Generator, key, summary,
+                  writer=None) -> tuple[GanBundle, Optional[PoseDataset]]:
+    """One GAN pass over the epoch's batches.  Returns the updated states and
+    the fake (cam-3D, 2D, intrinsics) dataset for posenet co-training."""
+    steps = gan.steps
+    gen_state, d3d_state, d2d_state = gan.gen_state, gan.d3d_state, gan.d2d_state
+
+    buf3d, buf2d, bufcam = [], [], []
+    for (real_3d, _real_2d, cam16), tgt2d, _tgt3d in zip(
+            gt2d3d.batches(np_rng, batch_size),
+            target_2d.batches(np_rng, batch_size),
+            target_3d.batches(np_rng, batch_size)):
+        key, k_c, k_g = jax.random.split(key, 3)
+        (d3d_state, d2d_state, cam_idx, bone_len, fake_cam3d, fake_2d, intr,
+         metrics) = steps.critics_step(
+            d3d_state, d2d_state, gen_state.params,
+            jnp.asarray(real_3d), jnp.asarray(cam16), jnp.asarray(tgt2d), k_c)
+        summary.train_discrim_iter_num += 1
+
+        if summary.train_iter_num % 5 == 4:
+            gen_state, gmetrics = steps.generator_step(
+                gen_state, d3d_state.params, d2d_state.params,
+                bone_len, cam_idx, k_g)
+            summary.train_fakepose_iter_num += 1
+            if writer is not None:
+                writer.add_scalar("train_G_iter_PoseFk/G_cost",
+                                  float(gmetrics["g_cost"]), summary.train_iter_num)
+
+        if writer is not None and summary.train_iter_num % 50 == 0:
+            for tag in ("3d_wasserstein", "2d_wasserstein", "3d_d_cost", "2d_d_cost"):
+                writer.add_scalar(f"train_G_iter_PoseFk/{tag}",
+                                  float(metrics[tag]), summary.train_iter_num)
+
+        buf3d.append(np.asarray(fake_cam3d))
+        buf2d.append(np.asarray(fake_2d))
+        bufcam.append(np.asarray(intr))
+        summary.train_iter_num += 1
+
+    gan = gan._replace(gen_state=gen_state, d3d_state=d3d_state,
+                       d2d_state=d2d_state)
+    if not buf3d:
+        return gan, None
+    fake_ds = PoseDataset(np.concatenate(buf3d), np.concatenate(buf2d),
+                          np.concatenate(bufcam))
+    return gan, fake_ds

@@ -1,0 +1,225 @@
+"""WGAN-GP machinery for the FK-GAN: jitted critic and generator steps.
+
+Rebuilds model_fk_gan_train.py's imperative loop as compiled JAX:
+
+  * ``gradient_penalty`` — calc_gradient_penalty (Fk_discriminator.py:205-231)
+    via ``jax.grad`` through the critic (double differentiation handled by
+    XLA; no autograd.Variable plumbing).
+  * ``make_critic_step`` — train_Fk_discriminator (model_fk_gan_train.py:177):
+    one Adam update minimizing D(fake) - D(real) + GP.  The optional
+    left/right-flip duplication is a second call of the same compiled step.
+  * ``make_single_frame_steps`` — the per-iteration body of
+    GAN_solutions_FK_generator (:236-510) split into two jitted programs:
+    ``critics_step`` (fake synthesis + both critic updates + random-camera
+    projection + fake buffering) and ``generator_step`` (every-5th-iteration
+    update, :415-484).  Host code only loops and stages batches.
+
+Faithful quirks:
+  * The generator-step flip branches are *detached* in the reference
+    (model_fk_gan_train.py:455-461: ``.detach().clone()``), so with flip
+    enabled the flipped critic scores contribute to the reported loss but
+    not to the gradient — i.e. the generator gradient is halved.  Replicated
+    with ``stop_gradient``.
+  * One random training camera per iteration projects the whole fake batch
+    (:344-376).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dhaug_tpu.data import h36m
+from dhaug_tpu.models.generator import (GeneratorConfig, sample_scaler8,
+                                        synthesize_poses)
+from dhaug_tpu.ops.augment import flip_pose
+from dhaug_tpu.ops.bones import bone_lengths_fk
+from dhaug_tpu.ops.camera import (camera_to_world_batch, project_to_2d,
+                                  world_to_camera_batch)
+from dhaug_tpu.train.state import NetState
+
+
+class GanHyper(NamedTuple):
+    lambda_gp: float = 10.0         # --GAN_LAMBDA
+    w3d: float = 1.0                # --GAN_3d_loss_weight
+    w2d: float = 0.2                # --GAN_2d_loss_weight
+    w3d_motion: float = 1.0         # --GAN_3d_motion_loss_weight
+    w2d_motion: float = 1.0         # --GAN_2d_motion_loss_weight
+    flip: bool = True               # --flip_GAN_model_input
+    bone_len_scaler: str = "different"
+    noise_dim: int = 128
+
+
+def camera_bank(train_subjects) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Stack every (subject, cam) pair's extrinsics + normalized intrinsics
+    into arrays for in-jit random camera selection.
+    Returns (quats (N,4), trans (N,3) metres, intrinsics (N,9))."""
+    quats, trans, intrs = [], [], []
+    for subject in train_subjects:
+        for cam_idx in range(4):
+            cam = h36m.normalized_camera(subject, cam_idx)
+            quats.append(cam["orientation"])
+            trans.append(cam["translation"])
+            intrs.append(cam["intrinsic"])
+    return (jnp.asarray(np.stack(quats), jnp.float32),
+            jnp.asarray(np.stack(trans), jnp.float32),
+            jnp.asarray(np.stack(intrs), jnp.float32))
+
+
+def gradient_penalty(critic_apply, params, real, fake, key, lambda_gp):
+    """Standard WGAN-GP on uniform interpolates, flattened per sample."""
+    B = real.shape[0]
+    r = real.reshape((B, -1))
+    f = fake.reshape((B, -1))
+    alpha = jax.random.uniform(key, (B, 1), dtype=r.dtype)
+    interp = alpha * r + (1.0 - alpha) * f
+
+    def critic_sum(x):
+        return jnp.sum(critic_apply(params, x.reshape(real.shape)))
+
+    grads = jax.grad(critic_sum)(interp)
+    norms = jnp.sqrt(jnp.sum(grads ** 2, axis=1) + 1e-12)
+    return jnp.mean((norms - 1.0) ** 2) * lambda_gp
+
+
+def make_critic_step(critic_apply, tx, lambda_gp: float):
+    """One compiled critic Adam update.  Returns (state, metrics) with the
+    reference's logged quantities (D_real, D_fake, Wasserstein, D_cost)."""
+
+    @jax.jit
+    def step(state: NetState, real, fake, key):
+        def loss_fn(params):
+            d_real = jnp.mean(critic_apply(params, real))
+            d_fake = jnp.mean(critic_apply(params, fake))
+            gp = gradient_penalty(critic_apply, params, real, fake, key, lambda_gp)
+            loss = d_fake - d_real + gp
+            return loss, (d_real, d_fake, gp)
+
+        (loss, (d_real, d_fake, gp)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+        metrics = {"d_real": d_real, "d_fake": d_fake, "gp": gp,
+                   "d_cost": loss, "wasserstein": d_real - d_fake}
+        return state.replace(params=params, opt_state=opt_state), metrics
+
+    return step
+
+
+class SingleFrameSteps(NamedTuple):
+    critics_step: callable
+    generator_step: callable
+
+
+def make_single_frame_steps(gen_apply, d3d_apply, d2d_apply,
+                            d3d_tx, d2d_tx, gen_tx,
+                            gen_cfg: GeneratorConfig, hyper: GanHyper,
+                            cam_quats, cam_trans, cam_intrs):
+    """Build the two compiled programs of the single-frame GAN epoch."""
+    d3d_step = make_critic_step(d3d_apply, d3d_tx, hyper.lambda_gp)
+    d2d_step = make_critic_step(d2d_apply, d2d_tx, hyper.lambda_gp)
+    n_cams = cam_quats.shape[0]
+
+    @jax.jit
+    def synth_fake(gen_params, bone_len, key):
+        """noise -> fake world pose (B, 16, 3) + scaler sampling."""
+        B = bone_len.shape[0]
+        k_noise, k_scaler = jax.random.split(key)
+        noise = jax.random.normal(k_noise, (B, hyper.noise_dim))
+        head = gen_apply(gen_params, noise)
+        scaler = sample_scaler8(k_scaler, B, hyper.bone_len_scaler)
+        return synthesize_poses(head, bone_len, scaler, gen_cfg)
+
+    def critics_step(d3d_state, d2d_state, gen_params,
+                     real_3d_cam, cam_param16, target_2d, key):
+        """One GAN iteration's critic phase.  real_3d_cam (B, 16, 3) in
+        camera space, cam_param16 (B, 16) = intrinsic(9) + quat(4) + t(3).
+        Returns new critic states, the iteration's random camera index,
+        harvested bone lengths, the fake buffers, and metrics."""
+        return _critics_step(d3d_state, d2d_state, gen_params,
+                             real_3d_cam, cam_param16, target_2d, key)
+
+    @jax.jit
+    def _critics_step(d3d_state, d2d_state, gen_params,
+                      real_3d_cam, cam_param16, target_2d, key):
+        k_fake, k_cam, k_d3a, k_d3b, k_d2a, k_d2b = jax.random.split(key, 6)
+
+        # Harvest bone lengths from the real batch (Fk_generator.py:107-111).
+        bone_len = bone_lengths_fk(real_3d_cam)
+
+        # Real pose to root-relative world space (model_fk_gan_train.py:289-295).
+        real_world = camera_to_world_batch(
+            real_3d_cam, cam_param16[:, 9:13], cam_param16[:, 13:16])
+        real_rel = real_world - real_world[:, :1]
+
+        # Fake synthesis (generator frozen in this phase).
+        fake_world = jax.lax.stop_gradient(synth_fake(gen_params, bone_len, k_fake))
+        fake_root = fake_world[:, :1]
+        fake_rel = fake_world - fake_root
+
+        d3d_state, m3 = d3d_step(d3d_state, real_rel, fake_rel, k_d3a)
+        if hyper.flip:
+            d3d_state, m3f = d3d_step(d3d_state, flip_pose(real_rel),
+                                      flip_pose(fake_rel), k_d3b)
+            m3 = {k: (m3[k] + m3f[k]) / 2 for k in m3}
+
+        # One random training camera projects the whole fake batch.
+        cam_idx = jax.random.randint(k_cam, (), 0, n_cams)
+        q = cam_quats[cam_idx][None]
+        t = cam_trans[cam_idx][None]
+        intr = jnp.broadcast_to(cam_intrs[cam_idx][None],
+                                (real_3d_cam.shape[0], 9))
+        fake_cam3d = world_to_camera_batch(fake_rel + fake_root, q, t)
+        fake_2d = project_to_2d(fake_cam3d, intr)
+
+        d2d_state, m2 = d2d_step(d2d_state, target_2d, fake_2d, k_d2a)
+        if hyper.flip:
+            d2d_state, m2f = d2d_step(d2d_state, flip_pose(target_2d),
+                                      flip_pose(fake_2d), k_d2b)
+            m2 = {k: (m2[k] + m2f[k]) / 2 for k in m2}
+
+        metrics = {**{f"3d_{k}": v for k, v in m3.items()},
+                   **{f"2d_{k}": v for k, v in m2.items()}}
+        return (d3d_state, d2d_state, cam_idx, bone_len,
+                fake_cam3d, fake_2d, intr, metrics)
+
+    @jax.jit
+    def generator_step(gen_state: NetState, d3d_params, d2d_params,
+                       bone_len, cam_idx, key):
+        """Every-5th-iteration generator update (model_fk_gan_train.py:415-484)."""
+        q = cam_quats[cam_idx][None]
+        t = cam_trans[cam_idx][None]
+        intr = jnp.broadcast_to(cam_intrs[cam_idx][None],
+                                (bone_len.shape[0], 9))
+
+        def loss_fn(params):
+            fake_world = synth_fake(params, bone_len, key)
+            fake_cam3d = world_to_camera_batch(fake_world, q, t)
+            fake_2d = project_to_2d(fake_cam3d, intr)
+            fake_rel = fake_world - fake_world[:, :1]
+            adv3d = jnp.mean(d3d_apply(d3d_params, fake_rel))
+            adv2d = jnp.mean(d2d_apply(d2d_params, fake_2d))
+            if hyper.flip:
+                # Reference detaches the flipped branches (:455-461): they
+                # halve the gradient but add only a constant to the loss.
+                adv3d_f = jnp.mean(d3d_apply(
+                    d3d_params, jax.lax.stop_gradient(flip_pose(fake_rel))))
+                adv2d_f = jnp.mean(d2d_apply(
+                    d2d_params, jax.lax.stop_gradient(flip_pose(fake_2d))))
+                adv3d = (adv3d + adv3d_f) / 2
+                adv2d = (adv2d + adv2d_f) / 2
+            gen_score = hyper.w3d * adv3d + hyper.w2d * adv2d
+            return -gen_score  # maximize the critic scores of fakes
+
+        loss, grads = jax.value_and_grad(loss_fn)(gen_state.params)
+        updates, opt_state = gen_tx.update(grads, gen_state.opt_state,
+                                           gen_state.params)
+        params = jax.tree.map(lambda p, u: p + u, gen_state.params, updates)
+        return (gen_state.replace(params=params, opt_state=opt_state),
+                {"g_cost": -loss})
+
+    return SingleFrameSteps(critics_step=critics_step,
+                            generator_step=generator_step)

@@ -1,0 +1,156 @@
+"""Posenet training and evaluation steps (single-frame and video).
+
+Rebuilds function_aug/model_pos_train.py:13 (train_posenet),
+function_baseline/model_pos_train.py:18, function_aug/model_pos_eval.py:16
+(evaluate) and the video variants (video_mode_operate.py:532,652,769) as
+compiled JAX steps.  The flip / time-reversal duplicated optimizer steps of
+the reference are reproduced by re-invoking the same compiled step on the
+transformed batch (identical update dynamics, one compilation).
+"""
+from __future__ import annotations
+
+from typing import Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dhaug_tpu.ops.augment import flip_pose, time_reverse
+from dhaug_tpu.ops.metrics import mpjpe, p_mpjpe_per_sample
+from dhaug_tpu.train.state import NetState
+
+
+def root_relative(pose: jnp.ndarray) -> jnp.ndarray:
+    """Subtract the hip joint (joint 0) along the joint axis."""
+    return pose - pose[..., :1, :]
+
+
+def make_posenet_train_step(model, tx, criterion: str = "mse"):
+    """criterion 'mse' (single-frame, nn.MSELoss) or 'mpjpe' (video)."""
+
+    def loss_of(outputs, targets):
+        if criterion == "mse":
+            return jnp.mean((outputs - targets) ** 2)
+        return mpjpe(outputs, targets)
+
+    @jax.jit
+    def step(state: NetState, inputs_2d, targets_3d_rel, key):
+        def loss_fn(params):
+            variables = {"params": params}
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+                outputs, mutated = model.apply(
+                    variables, inputs_2d, train=True,
+                    rngs={"dropout": key}, mutable=["batch_stats"])
+                new_stats = mutated["batch_stats"]
+            else:
+                outputs = model.apply(variables, inputs_2d, train=True,
+                                      rngs={"dropout": key})
+                new_stats = state.batch_stats
+            return loss_of(outputs, targets_3d_rel), new_stats
+
+        (loss, new_stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+        return state.replace(params=params, batch_stats=new_stats,
+                             opt_state=opt_state), loss
+
+    return step
+
+
+def train_epoch(step, state: NetState, batches, key, *,
+                flip: bool = True, playback: bool = False,
+                video: bool = False) -> Tuple[NetState, float]:
+    """One pass over ``batches`` of (inputs_2d, targets_3d).
+
+    Reproduces the reference's duplicated-step schedule: base step, optional
+    time-reversed step (video playback aug), optional flipped step, optional
+    flipped+reversed step — each a full optimizer update
+    (video_mode_operate.py:551-629).  targets are root-centred here."""
+    losses = []
+    for inputs_2d, targets_3d in batches:
+        key, k1, k2, k3, k4 = jax.random.split(key, 5)
+        inputs_2d = jnp.asarray(inputs_2d)
+        targets = root_relative(jnp.asarray(targets_3d))
+        state, loss = step(state, inputs_2d, targets, k1)
+        losses.append(loss)
+        if playback and video:
+            state, _ = step(state, time_reverse(inputs_2d), targets, k2)
+        if flip:
+            state, _ = step(state, flip_pose(inputs_2d),
+                            flip_pose(targets), k3)
+            if playback and video:
+                state, _ = step(state, time_reverse(flip_pose(inputs_2d)),
+                                flip_pose(targets), k4)
+    mean_loss = float(np.mean([float(l) for l in losses])) if losses else float("nan")
+    return state, mean_loss
+
+
+def make_posenet_eval_step(model):
+    @jax.jit
+    def forward(params, batch_stats, inputs_2d):
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        return model.apply(variables, inputs_2d, train=False)
+
+    @jax.jit
+    def forward_flip(params, batch_stats, inputs_2d):
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        out = model.apply(variables, inputs_2d, train=False)
+        out_f = model.apply(variables, flip_pose(inputs_2d), train=False)
+        return (out + flip_pose(out_f)) / 2.0
+
+    return forward, forward_flip
+
+
+@jax.jit
+def _per_sample_metrics(outputs_3d, targets_3d):
+    """Per-frame P1/P2 (mm) and per-joint error (mm); frames flattened."""
+    out = root_relative(outputs_3d).reshape((-1, 16, 3))
+    tgt = root_relative(targets_3d).reshape((-1, 16, 3))
+    err_mm = jnp.linalg.norm(out - tgt, axis=-1) * 1000.0      # (N, 16)
+    p1 = jnp.mean(err_mm, axis=-1)
+    p2 = p_mpjpe_per_sample(out, tgt) * 1000.0
+    return p1, p2, err_mm
+
+
+_AUC_THRESHOLDS = np.linspace(0.0, 150.0, 31)
+
+
+def evaluate(forward, params, batch_stats, batches,
+             flip_forward=None) -> Dict[str, float]:
+    """Batched evaluation; exact per-frame-weighted P1/P2 (mm) and per-joint
+    PCK@150 / AUC (%), matching the reference's AverageMeter accumulation.
+
+    ``batches`` yields (inputs_2d, targets_3d[, valid_count]); a trailing
+    valid_count masks out padded frames so every batch can keep a fixed XLA
+    shape.  ``flip_forward`` enables the flip-averaged inference used for
+    3DHP (function_aug/model_pos_eval.py:38-52)."""
+    p1s, p2s, errs = [], [], []
+    fwd = flip_forward if flip_forward is not None else forward
+    for batch in batches:
+        inputs_2d, targets_3d = batch[0], batch[1]
+        valid = batch[2] if len(batch) > 2 else None
+        inputs_2d = jnp.asarray(inputs_2d)
+        targets_3d = jnp.asarray(targets_3d)
+        outputs = fwd(params, batch_stats, inputs_2d)
+        p1, p2, err = _per_sample_metrics(outputs, targets_3d)
+        p1, p2, err = np.asarray(p1), np.asarray(p2), np.asarray(err)
+        if valid is not None:
+            p1, p2, err = p1[:valid], p2[:valid], err[:valid]
+        p1s.append(p1)
+        p2s.append(p2)
+        errs.append(err)
+    if not p1s:
+        return {k: float("nan") for k in ("p1", "p2", "pck", "auc")}
+    err = np.concatenate(errs)
+    return {
+        "p1": float(np.mean(np.concatenate(p1s))),
+        "p2": float(np.mean(np.concatenate(p2s))),
+        "pck": float(np.mean(err < 150.0) * 100.0),
+        "auc": float(np.mean([np.mean(err < t) * 100.0 for t in _AUC_THRESHOLDS])),
+    }

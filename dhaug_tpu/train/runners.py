@@ -1,0 +1,82 @@
+"""Shared runner plumbing for the CLI entry points."""
+from __future__ import annotations
+
+import datetime
+import os
+from typing import Iterator, Tuple
+
+import jax
+import numpy as np
+
+from dhaug_tpu.train.data_prep import DataBundle
+from dhaug_tpu.utils.log import Logger, Summary
+
+
+def setup_jax(args):
+    """Platform override + persistent compile cache (TPU compiles through
+    this environment's tunnel are minutes-slow without it)."""
+    if getattr(args, "jax_platform", ""):
+        jax.config.update("jax_platforms", args.jax_platform)
+    cache = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    except Exception:
+        pass
+
+
+def make_run_dir(args) -> str:
+    """checkpoint/<note>/<posenet>/<keypoints>/<timestamp>_<note>/ — the
+    reference's layout (run_Fk_GAN.py:79-83)."""
+    run_dir = os.path.join(args.checkpoint, args.posenet_name, args.keypoints,
+                           datetime.datetime.now().isoformat() + "_" + args.note)
+    os.makedirs(run_dir, exist_ok=True)
+    os.makedirs(os.path.join(run_dir, "tmp"), exist_ok=True)
+    return run_dir
+
+
+def make_logger(run_dir: str, args) -> Tuple[Logger, Summary]:
+    logger = Logger(os.path.join(run_dir, "log.txt"), args)
+    logger.set_names(["epoch", "lr", "error_h36m_p1", "error_h36m_p2",
+                      "error_3dhp_p1", "error_3dhp_p2", "PCK", "AUC"])
+    summary = Summary(run_dir)
+    summary.create_summary()
+    return logger, summary
+
+
+def eval_batches(poses_3d: np.ndarray, poses_2d: np.ndarray,
+                 batch_size: int) -> Iterator[tuple]:
+    """Fixed-shape eval batching: full batches plus one edge-padded remainder
+    batch carrying its valid count (so jit sees at most one shape)."""
+    n = poses_3d.shape[0]
+    full = n - (n % batch_size)
+    for s in range(0, full, batch_size):
+        yield poses_2d[s:s + batch_size], poses_3d[s:s + batch_size], batch_size
+    if full < n:
+        rem = n - full
+        pad = batch_size - rem
+        p2 = np.concatenate([poses_2d[full:], np.repeat(poses_2d[-1:], pad, 0)])
+        p3 = np.concatenate([poses_3d[full:], np.repeat(poses_3d[-1:], pad, 0)])
+        yield p2, p3, rem
+
+
+def train_batches(ds, rng: np.random.Generator, batch_size: int):
+    """(inputs_2d, targets_3d) shuffled fixed-shape batches from a
+    PoseDataset-like object."""
+    for p3, p2, _cam in ds.batches(rng, batch_size):
+        yield p2, p3
+
+
+def evaluate_both(forward, flip_forward, params, batch_stats, bundle: DataBundle,
+                  batch_size: int):
+    """H36M (no flip) + 3DHP (flip-averaged) evaluation — the reference's
+    evaluate_posenet pairing (function_aug/model_pos_eval.py:93-109)."""
+    from dhaug_tpu.train.posenet import evaluate
+    h36m = evaluate(forward, params, batch_stats,
+                    eval_batches(bundle.h36m_test.poses_3d,
+                                 bundle.h36m_test.poses_2d, batch_size))
+    dhp = evaluate(forward, params, batch_stats,
+                   eval_batches(bundle.mpi3d.poses_3d,
+                                bundle.mpi3d.poses_2d, batch_size),
+                   flip_forward=flip_forward)
+    return h36m, dhp

@@ -1,0 +1,199 @@
+#!/usr/bin/env python
+"""FK-GAN augmented posenet training (single-frame and video modes).
+
+CLI-compatible rebuild of DH-AUG_master/run_Fk_GAN.py: a WGAN-GP whose
+generator drives the DH forward-kinematics skeleton synthesizes (2D, 3D)
+pose pairs that co-train any posenet of the zoo, with per-epoch bone-length
+re-skin of the real data, flip/playback augmentation axes, and H36M + 3DHP
+evaluation.
+
+Examples (reference README commands port verbatim):
+    python run_Fk_GAN.py --note FK_GAN_16_hardem --posenet_name mlp \
+        --lr_p 1e-3 --keypoints gt --batch_size 1024 \
+        --data_enhancement_method GAN --single_or_multi_train_mode single
+    python run_Fk_GAN.py --posenet_name mulit_farme_videopose \
+        --single_or_multi_train_mode multi --architecture 3,3 --batch_size 512
+"""
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+
+def single_frame_mode_main(args, bundle, train_subjects):
+    import jax
+
+    from dhaug_tpu.gan.single_frame import (build_gan, reskin_dataset,
+                                            run_gan_epoch)
+    from dhaug_tpu.gan.traditional import (TraditionalConfig,
+                                           generate_traditional_poses,
+                                           project_through_cameras)
+    from dhaug_tpu.gan.wgan import camera_bank
+    from dhaug_tpu.data.loaders import PoseDataset, PoseTarget
+    from dhaug_tpu.models.factory import init_posenet, make_posenet
+    from dhaug_tpu.train.data_prep import world_pose_pool
+    from dhaug_tpu.train.posenet import (make_posenet_eval_step,
+                                         make_posenet_train_step, train_epoch)
+    from dhaug_tpu.train.runners import (evaluate_both, make_logger,
+                                         make_run_dir, train_batches)
+    from dhaug_tpu.train.state import (adam_posenet, lambda_lr, make_state,
+                                       set_learning_rate)
+    from dhaug_tpu.utils.checkpoint import save_ckpt
+
+    np_rng = np.random.default_rng(args.random_seed)
+    key = jax.random.PRNGKey(args.random_seed)
+
+    print("==> Creating PoseNet model...")
+    model = make_posenet(args.posenet_name, stages=args.stages,
+                         dropout=args.dropout, architecture=args.architecture,
+                         skeleton=bundle.dataset.skeleton())
+    key, k_init = jax.random.split(key)
+    params, batch_stats = init_posenet(model, k_init,
+                                       bundle.train_det2d3d.poses_2d[:2])
+    pos_tx = adam_posenet(args.lr_p, max_norm=1.0 if args.max_norm else 1e9)
+    pos_state = make_state(pos_tx, params, batch_stats)
+    pos_step = make_posenet_train_step(model, pos_tx, criterion="mse")
+    forward, flip_forward = make_posenet_eval_step(model)
+
+    key, k_gan = jax.random.split(key)
+    gan = build_gan(args, train_subjects, k_gan) \
+        if args.data_enhancement_method == "GAN" else None
+
+    run_dir = make_run_dir(args)
+    print(f"==> Making checkpoint dir: {run_dir}")
+    logger, summary = make_logger(run_dir, args)
+
+    # bone-length templates for the per-epoch re-skin
+    import os
+    tmpl_path = os.path.join(args.data_root, "data_extra", "bone_length_npy",
+                             "hm36s15678_bl_templates.npy")
+    templates = np.load(tmpl_path)
+
+    pose_pool = None
+    cam_q = cam_t = cam_i = None
+    if args.data_enhancement_method == "normal":
+        pose_pool = world_pose_pool(bundle, seed=args.random_seed)
+        cam_q, cam_t, cam_i = camera_bank(train_subjects)
+
+    gt2d3d = bundle.train_gt2d3d
+    dhpp1_best = None
+    s911p1_best = None
+    lr_now = 0.0
+    scores = {"h36m": {"p1": 0, "p2": 0}, "dhp": {"p1": 0, "p2": 0, "pck": 0, "auc": 0}}
+
+    fake_ds = None
+    for now_epoch in range(args.epochs + args.additional_train_epoch):
+        if args.data_enhancement_method in ("GAN", "normal"):
+            gt2d3d = reskin_dataset(bundle.train_gt2d3d, templates, np_rng)
+            target_2d = PoseTarget(gt2d3d.poses_2d)
+            target_3d = PoseTarget(gt2d3d.poses_3d)
+
+        if args.data_enhancement_method == "GAN":
+            key, k_epoch = jax.random.split(key)
+            gan, fake_ds = run_gan_epoch(gan, gt2d3d, target_2d, target_3d,
+                                         args.batch_size, np_rng, k_epoch,
+                                         summary, summary.writer)
+        elif args.data_enhancement_method == "normal":
+            key, k_trad = jax.random.split(key)
+            cfg = TraditionalConfig(
+                n_poses=args.generator_whole_number,
+                use_dataset_bone_len=args.generator_choose_BoneLen,
+                use_dataset_root=args.generator_choose_root_pos,
+                use_global_rot=args.generator_global_rot,
+                bone_len_scaler=args.bone_len_scaler)
+            pose16, *_ = generate_traditional_poses(k_trad,
+                                                    np.asarray(pose_pool), cfg)
+            f3d, f2d = project_through_cameras(pose16, cam_q, cam_t, cam_i)
+            fake_ds = PoseDataset(np.asarray(f3d), np.asarray(f2d),
+                                  np.zeros((f3d.shape[0], 1), np.float32))
+
+        train_now = (summary.epoch > args.warmup and
+                     args.data_enhancement_method == "GAN") or \
+            args.data_enhancement_method == "normal"
+        if train_now and fake_ds is not None:
+            key, k1 = jax.random.split(key)
+            pos_state, _ = train_epoch(pos_step, pos_state,
+                                       train_batches(fake_ds, np_rng,
+                                                     args.batch_size),
+                                       k1, flip=args.flip_pos_model_input)
+            h36m, dhp = evaluate_both(forward, flip_forward, pos_state.params,
+                                      pos_state.batch_stats, bundle,
+                                      args.batch_size)
+            logger.append([summary.epoch, 0, h36m["p1"], h36m["p2"],
+                           dhp["p1"], dhp["p2"], dhp["pck"], dhp["auc"]])
+            scores = {"h36m": h36m, "dhp": dhp}
+
+        if train_now or args.data_enhancement_method == "NO_enhance":
+            key, k2 = jax.random.split(key)
+            pos_state, _ = train_epoch(pos_step, pos_state,
+                                       train_batches(bundle.train_det2d3d,
+                                                     np_rng, args.batch_size),
+                                       k2, flip=args.flip_pos_model_input)
+            h36m, dhp = evaluate_both(forward, flip_forward, pos_state.params,
+                                      pos_state.batch_stats, bundle,
+                                      args.batch_size)
+            scores = {"h36m": h36m, "dhp": dhp}
+
+        # posenet LR: linear decay for args.epochs, then x additional_LR_decay
+        if now_epoch < args.epochs:
+            lr_now = lambda_lr(args.lr_p, now_epoch + 1, args.epochs)
+        else:
+            lr_now = lr_now * args.additional_LR_decay
+        pos_state = set_learning_rate(pos_state, lr_now)
+        print(f"\nEpoch: {summary.epoch} | LR: {lr_now:.8f} "
+              f"| H36M P1 {scores['h36m']['p1']:.2f} "
+              f"| 3DHP P1 {scores['dhp']['p1']:.2f}")
+
+        h36m, dhp = scores["h36m"], scores["dhp"]
+        logger.append([summary.epoch, lr_now, h36m["p1"], h36m["p2"],
+                       dhp["p1"], dhp["p2"],
+                       dhp.get("pck", 0), dhp.get("auc", 0)])
+
+        ckpt = {"epoch": summary.epoch, "model_pos": pos_state.params,
+                "batch_stats": pos_state.batch_stats,
+                "posenet_name": args.posenet_name}
+        if dhp["p1"] and (dhpp1_best is None or dhpp1_best > dhp["p1"]):
+            dhpp1_best = dhp["p1"]
+            logger.record_args(
+                f"==> Saving checkpoint at epoch '{summary.epoch}', "
+                f"with dhp_p1 {dhpp1_best}")
+            save_ckpt(ckpt, run_dir, suffix="best_dhp_p1")
+        if h36m["p1"] and (s911p1_best is None or s911p1_best > h36m["p1"]):
+            s911p1_best = h36m["p1"]
+            save_ckpt(ckpt, run_dir, suffix="best_h36m_p1")
+
+        if gan is not None and (summary.epoch + 1) % max(args.snapshot, 1) == 0:
+            save_ckpt({"epoch": summary.epoch,
+                       "gen": gan.gen_state.params,
+                       "d3d": gan.d3d_state.params,
+                       "d2d": gan.d2d_state.params}, run_dir, suffix="gan_latest")
+        summary.epoch += 1
+
+    logger.close()
+    return scores
+
+
+def main(argv=None):
+    from dhaug_tpu.train.config import parse_aug_args
+    args = parse_aug_args(argv)
+
+    from dhaug_tpu.train.runners import setup_jax
+    setup_jax(args)
+
+    from dhaug_tpu.train.data_prep import prepare_data, train_subject_list
+
+    train_subjects = train_subject_list(args)
+
+    print("==> Loading dataset...")
+    if args.single_or_multi_train_mode == "single":
+        bundle = prepare_data(args, per_frame_cam=True)
+        return single_frame_mode_main(args, bundle, train_subjects)
+    elif args.single_or_multi_train_mode == "multi":
+        from dhaug_tpu.train.video_runner import video_mode_main
+        return video_mode_main(args, train_subjects)
+    raise SystemExit("--single_or_multi_train_mode must be single|multi")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -1,0 +1,111 @@
+#!/usr/bin/env python
+"""Baseline posenet training (no augmentation).
+
+CLI-compatible rebuild of DH-AUG_master/run_baseline.py (whose data path is
+bit-rotted in the reference, SURVEY.md §2.2 — this one runs).  Trains a
+posenet on real H36M 2D->3D pairs with the step-decayed Adam schedule and
+evaluates on H36M S9/S11 and MPI-INF-3DHP every epoch.
+
+Example:
+    python run_baseline.py --posenet_name videopose --keypoints gt \
+        --epochs 50 --batch_size 1024 --synthetic_data true
+"""
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+
+def main(argv=None):
+    from dhaug_tpu.train.config import parse_baseline_args
+    args = parse_baseline_args(argv)
+
+    from dhaug_tpu.train.runners import setup_jax
+    setup_jax(args)
+
+    import jax
+
+    from dhaug_tpu.models.factory import init_posenet, make_posenet
+    from dhaug_tpu.train.data_prep import prepare_data
+    from dhaug_tpu.train.posenet import (make_posenet_eval_step,
+                                         make_posenet_train_step, train_epoch)
+    from dhaug_tpu.train.runners import (evaluate_both, eval_batches,
+                                         make_logger, make_run_dir,
+                                         train_batches)
+    from dhaug_tpu.train.state import (adam_posenet, current_learning_rate,
+                                       make_state, set_learning_rate,
+                                       step_exp_lr)
+    from dhaug_tpu.utils.checkpoint import save_ckpt
+
+    np_rng = np.random.default_rng(args.random_seed)
+    key = jax.random.PRNGKey(args.random_seed)
+
+    print("==> Loading dataset...")
+    bundle = prepare_data(args)
+
+    print(f"==> Creating model: {args.posenet_name}")
+    model = make_posenet(args.posenet_name, stages=args.stages,
+                         dropout=args.dropout, architecture=args.architecture,
+                         skeleton=bundle.dataset.skeleton())
+    key, k_init = jax.random.split(key)
+    example = bundle.train_det2d3d.poses_2d[:2]
+    params, batch_stats = init_posenet(model, k_init, example)
+    n_params = sum(x.size for x in jax.tree.leaves(params))
+    print(f"==> Total parameters: {n_params / 1e6:.2f}M")
+
+    tx = adam_posenet(args.lr, max_norm=1.0 if args.max_norm else 1e9)
+    state = make_state(tx, params, batch_stats)
+    step_fn = make_posenet_train_step(model, tx, criterion="mse")
+    forward, flip_forward = make_posenet_eval_step(model)
+
+    run_dir = make_run_dir(args)
+    print(f"==> Saving to {run_dir}")
+    logger, summary = make_logger(run_dir, args)
+
+    steps_per_epoch = bundle.train_det2d3d.num_batches(args.batch_size)
+    best_h36m = None
+    best_dhp = None
+    for epoch in range(args.epochs):
+        global_step = epoch * steps_per_epoch
+        lr_now = step_exp_lr(args.lr, (global_step // args.lr_decay) * args.lr_decay,
+                             args.lr_decay, args.lr_gamma)
+        state = set_learning_rate(state, lr_now)
+
+        key, k_epoch = jax.random.split(key)
+        state, loss = train_epoch(step_fn, state,
+                                  train_batches(bundle.train_det2d3d, np_rng,
+                                                args.batch_size),
+                                  k_epoch, flip=args.flip_pos_model_input)
+
+        h36m, dhp = evaluate_both(forward, flip_forward, state.params,
+                                  state.batch_stats, bundle, args.batch_size)
+        print(f"Epoch {epoch}: lr {lr_now:.2e} loss {loss:.5f} "
+              f"| H36M P1 {h36m['p1']:.2f} P2 {h36m['p2']:.2f} "
+              f"| 3DHP P1 {dhp['p1']:.2f} PCK {dhp['pck']:.2f} AUC {dhp['auc']:.2f}")
+        logger.append([epoch + 1, lr_now, h36m["p1"], h36m["p2"],
+                       dhp["p1"], dhp["p2"], dhp["pck"], dhp["auc"]])
+        for tag, val in [("h36m_p1", h36m["p1"]), ("h36m_p2", h36m["p2"]),
+                         ("dhp_p1", dhp["p1"]), ("dhp_pck", dhp["pck"])]:
+            summary.writer.add_scalar(f"posenet/{tag}", val, epoch)
+
+        ckpt = {"epoch": epoch + 1, "lr": lr_now, "error": h36m["p1"],
+                "state_dict": state.params, "batch_stats": state.batch_stats,
+                "posenet_name": args.posenet_name}
+        if best_h36m is None or h36m["p1"] < best_h36m:
+            best_h36m = h36m["p1"]
+            save_ckpt(ckpt, run_dir, suffix="best")
+        if best_dhp is None or dhp["p1"] < best_dhp:
+            best_dhp = dhp["p1"]
+            save_ckpt(ckpt, run_dir, suffix="best_dhp_p1")
+        if (epoch + 1) % args.snapshot == 0:
+            save_ckpt(ckpt, run_dir)
+        summary.epoch += 1
+
+    logger.close()
+    print(f"Best H36M P1: {best_h36m:.2f} mm | best 3DHP P1: {best_dhp:.2f} mm")
+    return best_h36m
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
