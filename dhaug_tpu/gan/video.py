@@ -1,0 +1,333 @@
+"""Video-mode FK-GAN: 5-model WGAN-GP epoch (generator + 2 single-frame
+critics + 2 motion critics).
+
+Rebuilds video_mode_GAN_solutions_FK_generator (video_GAN_fun.py:79-601) and
+video_mode_my_get_poseFk_model (model_fk_gan_train.py:131-173):
+
+  * single-frame critics judge every frame of every clip independently
+    (batch B*F); motion critics judge whole clips (batch B) and only start
+    after --single_dis_warmup_epoch;
+  * augmentation axes: left/right flip (extra critic updates) and time
+    reversal "playback" (extra *motion*-critic updates,
+    video_GAN_fun.py:219-232);
+  * the generator's every-5th-iteration update scores up to 4 critics with
+    weights w3d/w2d/w3d_motion/w2d_motion; its flip branches are detached in
+    the reference (:493-499) and reproduced with stop_gradient, while the
+    playback branches carry gradient (:469-482);
+  * real clips are root-centred per frame before the 3D critics
+    (video_GAN_fun.py:181), so root trajectory information reaches only the
+    2D motion critic.
+
+Deviation from the reference (deliberate): video_GAN_fun.py:467 reshapes the
+3D fake with 16*2 before the generator-step playback branch — a latent shape
+bug (SURVEY.md §2.2) that scrambles frames; here the reshape is the correct
+16*3.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dhaug_tpu.gan.wgan import GanHyper, camera_bank, make_critic_step
+from dhaug_tpu.models.discriminators import (Fk2DDiscriminator,
+                                             Fk3DDiscriminator,
+                                             MotionFk2DDiscriminator,
+                                             MotionFk3DDiscriminator)
+from dhaug_tpu.models.generator import (FkGeneratorNet, GeneratorConfig,
+                                        sample_scaler8, synthesize_poses)
+from dhaug_tpu.ops.augment import flip_pose, time_reverse
+from dhaug_tpu.ops.bones import bone_lengths_fk
+from dhaug_tpu.ops.camera import (camera_to_world_batch, project_to_2d,
+                                  world_to_camera_batch)
+from dhaug_tpu.train.state import NetState, adam_gan, make_state
+
+
+class VideoGanBundle(NamedTuple):
+    gen_state: NetState
+    d3d_state: NetState
+    d2d_state: NetState
+    md3d_state: NetState
+    md2d_state: NetState
+    steps: "VideoSteps"
+    gen_cfg: GeneratorConfig
+    hyper: GanHyper
+    playback: bool
+
+
+class VideoSteps(NamedTuple):
+    critics_step: callable     # static arg: use_motion
+    generator_step: callable   # static arg: use_motion
+
+
+def build_video_gan(args, train_subjects, video_frames: int, key) -> VideoGanBundle:
+    gen_cfg = GeneratorConfig(
+        dense_dim=args.Gen_DenseDim, output_dim=args.GAN_OUTPUT_DIM,
+        use_pre_angle=args.GAN_whether_use_preAngle,
+        use_global_rot=args.whether_use_RT, video_frames=video_frames)
+    hyper = GanHyper(
+        lambda_gp=float(args.GAN_LAMBDA), w3d=args.GAN_3d_loss_weight,
+        w2d=args.GAN_2d_loss_weight,
+        w3d_motion=args.GAN_3d_motion_loss_weight,
+        w2d_motion=args.GAN_2d_motion_loss_weight,
+        flip=args.flip_GAN_model_input, bone_len_scaler=args.bone_len_scaler)
+
+    gen = FkGeneratorNet(gen_cfg)
+    d3d = Fk3DDiscriminator(dense_dim=args.Dis_DenseDim_3D)
+    d2d = Fk2DDiscriminator(dense_dim=args.Dis_DenseDim_2D)
+    md3d = MotionFk3DDiscriminator(
+        video_frames=video_frames, dense_dim=args.video_Dis_DenseDim_3D,
+        use_pos_branch=args.motion_Dis_whether_use_3dPos_branch,
+        use_diff_branch=args.motion_Dis_whether_use_3dDiff_branch)
+    md2d = MotionFk2DDiscriminator(video_frames=video_frames,
+                                   dense_dim=args.video_Dis_DenseDim_2D)
+
+    F = video_frames
+    k = jax.random.split(key, 5)
+    gen_params = gen.init(k[0], jnp.zeros((2, 128)))["params"]
+    d3d_params = d3d.init(k[1], jnp.zeros((2, 16, 3)))["params"]
+    d2d_params = d2d.init(k[2], jnp.zeros((2, 16, 2)))["params"]
+    md3d_params = md3d.init(k[3], jnp.zeros((2, F, 16, 3)))["params"]
+    md2d_params = md2d.init(k[4], jnp.zeros((2, F, 16, 2)))["params"]
+
+    txs = {n: adam_gan(args.lr_d if n != "gen" else args.lr_g)
+           for n in ("gen", "d3d", "d2d", "md3d", "md2d")}
+
+    gen_apply = lambda p, x: gen.apply({"params": p}, x)
+    d3d_apply = lambda p, x: d3d.apply({"params": p}, x)
+    d2d_apply = lambda p, x: d2d.apply({"params": p}, x)
+    md3d_apply = lambda p, x: md3d.apply({"params": p}, x)
+    md2d_apply = lambda p, x: md2d.apply({"params": p}, x)
+
+    d3d_step = make_critic_step(d3d_apply, txs["d3d"], hyper.lambda_gp)
+    d2d_step = make_critic_step(d2d_apply, txs["d2d"], hyper.lambda_gp)
+    md3d_step = make_critic_step(md3d_apply, txs["md3d"], hyper.lambda_gp)
+    md2d_step = make_critic_step(md2d_apply, txs["md2d"], hyper.lambda_gp)
+
+    quats, trans, intrs = camera_bank(train_subjects)
+    n_cams = quats.shape[0]
+    playback = bool(args.GAN_video_playback_input)
+    flip = hyper.flip
+
+    def synth_fake(gen_params, bone_len, key):
+        B = bone_len.shape[0]
+        k_n, k_s = jax.random.split(key)
+        noise = jax.random.normal(k_n, (B, 128))
+        head = gen_apply(gen_params, noise)
+        scaler = sample_scaler8(k_s, B, hyper.bone_len_scaler)
+        return synthesize_poses(head, bone_len, scaler, gen_cfg)  # (B,F,16,3)
+
+    @functools.partial(jax.jit, static_argnames=("use_motion",))
+    def critics_step(d3d_state, d2d_state, md3d_state, md2d_state, gen_params,
+                     real_3d_clip, cam16, real_2d_clip, key, use_motion: bool):
+        """real_3d_clip (B, F, 16, 3) camera space; cam16 (B, 16);
+        real_2d_clip (B, F, 16, 2)."""
+        B = real_3d_clip.shape[0]
+        keys = jax.random.split(key, 16)
+
+        # bone lengths from the clip's frames (one per frame, reshaped (B*F))
+        bone_len = bone_lengths_fk(real_3d_clip.reshape((B, F, 16, 3)))
+        bone_len_frames = bone_len.reshape((B * F, 15))
+
+        # real world clips, root-centred per frame (video_GAN_fun.py:178-181)
+        real_world = camera_to_world_batch(
+            real_3d_clip.reshape((B * F, 16, 3)),
+            jnp.repeat(cam16[:, 9:13], F, axis=0),
+            jnp.repeat(cam16[:, 13:16], F, axis=0))
+        real_rel = (real_world - real_world[:, :1]).reshape((B, F, 16, 3))
+
+        fake_world = jax.lax.stop_gradient(
+            synth_fake(gen_params, bone_len[:, 0], keys[0]))   # (B,F,16,3)
+        fake_root = fake_world[:, :, :1]
+        fake_rel = fake_world - fake_root
+
+        metrics = {}
+
+        # ---- 3D critics ----
+        d3d_state, m = d3d_step(d3d_state, real_rel.reshape((-1, 16, 3)),
+                                fake_rel.reshape((-1, 16, 3)), keys[1])
+        if use_motion:
+            md3d_state, mm = md3d_step(md3d_state, real_rel, fake_rel, keys[2])
+            if playback:
+                md3d_state, mb = md3d_step(md3d_state, time_reverse(real_rel),
+                                           time_reverse(fake_rel), keys[3])
+                mm = {k2: (mm[k2] + mb[k2]) / 2 for k2 in mm}
+        if flip:
+            real_f = flip_pose(real_rel)
+            fake_f = flip_pose(fake_rel)
+            d3d_state, mf = d3d_step(d3d_state, real_f.reshape((-1, 16, 3)),
+                                     fake_f.reshape((-1, 16, 3)), keys[4])
+            m = {k2: (m[k2] + mf[k2]) / 2 for k2 in m}
+            if use_motion:
+                md3d_state, mmf = md3d_step(md3d_state, real_f, fake_f, keys[5])
+                if playback:
+                    md3d_state, mmfb = md3d_step(
+                        md3d_state, time_reverse(real_f), time_reverse(fake_f),
+                        keys[6])
+                    mmf = {k2: (mmf[k2] + mmfb[k2]) / 2 for k2 in mmf}
+                mm = {k2: (mm[k2] + mmf[k2]) / 2 for k2 in mm}
+        metrics.update({f"3d_{k2}": v for k2, v in m.items()})
+        if use_motion:
+            metrics.update({f"motion_3d_{k2}": v for k2, v in mm.items()})
+
+        # ---- random camera projection of the whole fake clip ----
+        cam_idx = jax.random.randint(keys[7], (), 0, n_cams)
+        q = quats[cam_idx][None]
+        t = trans[cam_idx][None]
+        intr = jnp.broadcast_to(intrs[cam_idx][None], (B * F, 9))
+        fake_cam3d = world_to_camera_batch(
+            (fake_rel + fake_root).reshape((B * F, 16, 3)), q, t)
+        fake_2d = project_to_2d(fake_cam3d, intr).reshape((B, F, 16, 2))
+        fake_cam3d = fake_cam3d.reshape((B, F, 16, 3))
+
+        # ---- 2D critics ----
+        d2d_state, m2 = d2d_step(d2d_state, real_2d_clip.reshape((-1, 16, 2)),
+                                 fake_2d.reshape((-1, 16, 2)), keys[8])
+        if use_motion:
+            md2d_state, mm2 = md2d_step(md2d_state, real_2d_clip, fake_2d, keys[9])
+            if playback:
+                md2d_state, mb2 = md2d_step(md2d_state, time_reverse(real_2d_clip),
+                                            time_reverse(fake_2d), keys[10])
+                mm2 = {k2: (mm2[k2] + mb2[k2]) / 2 for k2 in mm2}
+        if flip:
+            real2_f = flip_pose(real_2d_clip)
+            fake2_f = flip_pose(fake_2d)
+            d2d_state, mf2 = d2d_step(d2d_state, real2_f.reshape((-1, 16, 2)),
+                                      fake2_f.reshape((-1, 16, 2)), keys[11])
+            m2 = {k2: (m2[k2] + mf2[k2]) / 2 for k2 in m2}
+            if use_motion:
+                md2d_state, mmf2 = md2d_step(md2d_state, real2_f, fake2_f, keys[12])
+                if playback:
+                    md2d_state, mmfb2 = md2d_step(
+                        md2d_state, time_reverse(real2_f), time_reverse(fake2_f),
+                        keys[13])
+                    mmf2 = {k2: (mmf2[k2] + mmfb2[k2]) / 2 for k2 in mmf2}
+                mm2 = {k2: (mm2[k2] + mmf2[k2]) / 2 for k2 in mm2}
+        metrics.update({f"2d_{k2}": v for k2, v in m2.items()})
+        if use_motion:
+            metrics.update({f"motion_2d_{k2}": v for k2, v in mm2.items()})
+
+        return (d3d_state, d2d_state, md3d_state, md2d_state, cam_idx,
+                bone_len[:, 0], fake_cam3d, fake_2d,
+                intr.reshape((B, F, 9)), metrics)
+
+    @functools.partial(jax.jit, static_argnames=("use_motion",))
+    def generator_step(gen_state, d3d_params, d2d_params, md3d_params,
+                       md2d_params, bone_len, cam_idx, key, use_motion: bool):
+        q = quats[cam_idx][None]
+        t = trans[cam_idx][None]
+        B = bone_len.shape[0]
+        intr = jnp.broadcast_to(intrs[cam_idx][None], (B * F, 9))
+
+        def loss_fn(params):
+            fake_world = synth_fake(params, bone_len, key)        # (B,F,16,3)
+            fake_cam3d = world_to_camera_batch(
+                fake_world.reshape((B * F, 16, 3)), q, t)
+            fake_2d = project_to_2d(fake_cam3d, intr).reshape((B, F, 16, 2))
+            fake_rel = fake_world - fake_world[:, :, :1]
+
+            adv3d = jnp.mean(d3d_apply(d3d_params, fake_rel.reshape((-1, 16, 3))))
+            adv2d = jnp.mean(d2d_apply(d2d_params, fake_2d.reshape((-1, 16, 2))))
+            if use_motion:
+                adv_m3d = jnp.mean(md3d_apply(md3d_params, fake_rel))
+                adv_m2d = jnp.mean(md2d_apply(md2d_params, fake_2d))
+                if playback:
+                    adv_m3d = (adv_m3d + jnp.mean(md3d_apply(
+                        md3d_params, time_reverse(fake_rel)))) / 2
+                    adv_m2d = (adv_m2d + jnp.mean(md2d_apply(
+                        md2d_params, time_reverse(fake_2d)))) / 2
+            if flip:
+                # flip branches detached (video_GAN_fun.py:493-499)
+                f3 = jax.lax.stop_gradient(flip_pose(fake_rel))
+                f2 = jax.lax.stop_gradient(flip_pose(fake_2d))
+                adv3d = (adv3d + jnp.mean(d3d_apply(d3d_params,
+                                                    f3.reshape((-1, 16, 3))))) / 2
+                adv2d = (adv2d + jnp.mean(d2d_apply(d2d_params,
+                                                    f2.reshape((-1, 16, 2))))) / 2
+                if use_motion:
+                    fm3 = jnp.mean(md3d_apply(md3d_params, f3))
+                    fm2 = jnp.mean(md2d_apply(md2d_params, f2))
+                    if playback:
+                        fm3 = (fm3 + jnp.mean(md3d_apply(
+                            md3d_params, time_reverse(f3)))) / 2
+                        fm2 = (fm2 + jnp.mean(md2d_apply(
+                            md2d_params, time_reverse(f2)))) / 2
+                    adv_m3d = (adv_m3d + fm3) / 2
+                    adv_m2d = (adv_m2d + fm2) / 2
+
+            gen_score = hyper.w3d * adv3d + hyper.w2d * adv2d
+            if use_motion:
+                gen_score = gen_score + hyper.w3d_motion * adv_m3d + \
+                    hyper.w2d_motion * adv_m2d
+            return -gen_score
+
+        loss, grads = jax.value_and_grad(loss_fn)(gen_state.params)
+        updates, opt_state = txs["gen"].update(grads, gen_state.opt_state,
+                                               gen_state.params)
+        params = jax.tree.map(lambda p, u: p + u, gen_state.params, updates)
+        return (gen_state.replace(params=params, opt_state=opt_state),
+                {"g_cost": -loss})
+
+    return VideoGanBundle(
+        gen_state=make_state(txs["gen"], gen_params),
+        d3d_state=make_state(txs["d3d"], d3d_params),
+        d2d_state=make_state(txs["d2d"], d2d_params),
+        md3d_state=make_state(txs["md3d"], md3d_params),
+        md2d_state=make_state(txs["md2d"], md2d_params),
+        steps=VideoSteps(critics_step=critics_step,
+                         generator_step=generator_step),
+        gen_cfg=gen_cfg, hyper=hyper, playback=playback)
+
+
+def run_video_gan_epoch(gan: VideoGanBundle, gan_loader, batch_size: int,
+                        key, summary, use_motion: bool, writer=None):
+    """One pass over the GAN clip loader.  Returns (gan, fake clip arrays:
+    (N, F, 16, 3) cam-space, (N, F, 16, 2), (N, F, 9))."""
+    steps = gan.steps
+    gen_state = gan.gen_state
+    d3d_state, d2d_state = gan.d3d_state, gan.d2d_state
+    md3d_state, md2d_state = gan.md3d_state, gan.md2d_state
+
+    buf3d, buf2d, bufcam = [], [], []
+    for cam16, clip3d, clip2d in gan_loader.next_epoch():
+        if clip3d.shape[0] < batch_size:
+            continue
+        key, k_c, k_g = jax.random.split(key, 3)
+        (d3d_state, d2d_state, md3d_state, md2d_state, cam_idx, bone_len,
+         fake_cam3d, fake_2d, intr, metrics) = steps.critics_step(
+            d3d_state, d2d_state, md3d_state, md2d_state, gen_state.params,
+            jnp.asarray(clip3d), jnp.asarray(cam16), jnp.asarray(clip2d),
+            k_c, use_motion=use_motion)
+        summary.train_discrim_iter_num += 1
+
+        if summary.train_iter_num % 5 == 4:
+            gen_state, gm = steps.generator_step(
+                gen_state, d3d_state.params, d2d_state.params,
+                md3d_state.params, md2d_state.params, bone_len, cam_idx,
+                k_g, use_motion=use_motion)
+            summary.train_fakepose_iter_num += 1
+            if writer is not None:
+                writer.add_scalar("train_G_iter_PoseFk/G_cost",
+                                  float(gm["g_cost"]), summary.train_iter_num)
+
+        if writer is not None and summary.train_iter_num % 50 == 0:
+            for tag, v in metrics.items():
+                if tag.endswith("wasserstein"):
+                    writer.add_scalar(f"train_G_iter_PoseFk/{tag}", float(v),
+                                      summary.train_iter_num)
+
+        buf3d.append(np.asarray(fake_cam3d))
+        buf2d.append(np.asarray(fake_2d))
+        bufcam.append(np.asarray(intr))
+        summary.train_iter_num += 1
+
+    gan = gan._replace(gen_state=gen_state, d3d_state=d3d_state,
+                       d2d_state=d2d_state, md3d_state=md3d_state,
+                       md2d_state=md2d_state)
+    if not buf3d:
+        return gan, None
+    return gan, (np.concatenate(buf3d), np.concatenate(buf2d),
+                 np.concatenate(bufcam))

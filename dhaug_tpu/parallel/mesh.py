@@ -1,0 +1,68 @@
+"""Device mesh construction and sharding helpers.
+
+The reference is strictly single-GPU (SURVEY.md §2: no torch.distributed
+anywhere); parallelism here is a greenfield TPU design:
+
+  * 1-D ``data`` mesh over ICI for the GAN and posenet steps — the batch
+    (1024 poses) is the parallel axis; parameters are replicated and XLA
+    inserts the gradient all-reduce.
+  * optional 2-D (data, model) mesh: the 1000-wide dense layers of the
+    generator/critics shard over ``model`` (tensor parallelism) for pod-scale
+    synthesis where activations dominate HBM.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: Optional[int] = None, model_axis: int = 1,
+              devices: Optional[Sequence] = None) -> Mesh:
+    """Build a (data, model) mesh; model_axis=1 gives pure data parallelism."""
+    devs = list(devices if devices is not None else jax.devices())
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    n = len(devs)
+    assert n % model_axis == 0, (n, model_axis)
+    arr = np.array(devs).reshape(n // model_axis, model_axis)
+    return Mesh(arr, axis_names=("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading batch axis over 'data'."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, *arrays):
+    """device_put arrays with the batch axis sharded over 'data'."""
+    sh = batch_sharding(mesh)
+    out = tuple(jax.device_put(a, sh) for a in arrays)
+    return out[0] if len(out) == 1 else out
+
+
+def replicate(mesh: Mesh, tree):
+    """Replicate a parameter pytree across the mesh."""
+    sh = replicated(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+
+def shard_params_tp(mesh: Mesh, params, min_width: int = 512):
+    """Tensor-parallel placement: shard wide Dense kernels/biases over the
+    'model' axis (last dim), replicate everything else.  With GSPMD, jit
+    propagates these shardings through the matmuls and inserts the
+    collectives."""
+    def place(path, x):
+        if x.ndim >= 1 and x.shape[-1] >= min_width and x.shape[-1] % mesh.shape["model"] == 0:
+            spec = P(*([None] * (x.ndim - 1) + ["model"]))
+        else:
+            spec = P()
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map_with_path(place, params)

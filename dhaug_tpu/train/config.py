@@ -121,8 +121,18 @@ def get_baseline_parser() -> argparse.ArgumentParser:
     return parser
 
 
+def _validate_architecture(arch: str):
+    try:
+        widths = [int(x) for x in arch.split(",")]
+    except ValueError:
+        raise SystemExit(f"--architecture must be comma-separated ints, got {arch!r}")
+    if any(w % 2 == 0 for w in widths):
+        raise SystemExit("--architecture: only odd filter widths are supported")
+
+
 def parse_aug_args(argv=None):
     args = get_aug_parser().parse_args(argv)
+    _validate_architecture(args.architecture)
     if args.data_enhancement_method not in ("GAN", "normal", "NO_enhance"):
         raise SystemExit("--data_enhancement_method must be GAN | normal | NO_enhance")
     if args.single_or_multi_train_mode not in ("single", "multi"):
@@ -135,7 +145,9 @@ def parse_aug_args(argv=None):
 
 
 def parse_baseline_args(argv=None):
-    return get_baseline_parser().parse_args(argv)
+    args = get_baseline_parser().parse_args(argv)
+    _validate_architecture(args.architecture)
+    return args
 
 
 def apply_platform(args):

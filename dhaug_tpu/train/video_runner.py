@@ -1,0 +1,263 @@
+"""Video-mode (multi-frame) training: data prep, posenet loops, eval, main.
+
+Rebuilds vedio_multi_frame_mode_main (run_Fk_GAN.py:191-318) and the video
+plumbing of video_mode_operate.py: chunked loaders, per-sequence bone
+re-skin, clip-based GAN training, centre-frame fake posenet training,
+whole-sequence evaluation with the dilated eval twin.
+"""
+from __future__ import annotations
+
+import os
+from typing import List
+
+import numpy as np
+
+from dhaug_tpu.data.chunked import (ChunkWindows, UnchunkedSequences,
+                                    split_mpi3d_sequences)
+from dhaug_tpu.train.data_prep import prepare_data, train_subject_list
+
+
+def _receptive_field(args) -> int:
+    from dhaug_tpu.models.factory import receptive_field
+    return receptive_field(args.architecture)
+
+
+def video_data_preparation(args):
+    """video_mode_fk_data_preparation (video_mode_operate.py:417-528)."""
+    bundle = prepare_data(args, per_frame_cam=False)
+    rf = _receptive_field(args)
+    pad = (rf - 1) // 2
+
+    train_loader = ChunkWindows(args.batch_size, bundle.cams_train,
+                                bundle.poses_train, bundle.poses_train_2d,
+                                pad=pad, full_3d_window=False, shuffle=True,
+                                random_seed=args.random_seed)
+    gan_loader = ChunkWindows(args.batch_size, bundle.cams_train,
+                              bundle.poses_train, bundle.poses_train_2d,
+                              pad=pad, full_3d_window=True, shuffle=True,
+                              random_seed=args.random_seed + 1)
+
+    # H36M eval: whole sequences for the dilated net, centre-frame chunks for
+    # everything else (video_mode_operate.py:470-481).
+    poses_valid, poses_valid_2d = [], []
+    from dhaug_tpu.data.loaders import fetch
+    pv, pv2, _, cams_v = fetch(bundle.subjects_test, bundle.dataset,
+                               bundle.keypoints, bundle.action_filter,
+                               stride=args.downsample, train=False,
+                               with_extrinsics=False, per_frame_cam=False)
+    if args.posenet_name == "mulit_farme_videopose":
+        h36m_eval = UnchunkedSequences(cams_v, pv, pv2, pad=pad)
+    else:
+        h36m_eval = ChunkWindows(args.batch_size, cams_v, pv, pv2, pad=pad,
+                                 full_3d_window=False, shuffle=False,
+                                 drop_last=False)
+
+    mpi = np.load(os.path.join(args.data_root, "data_extra", "test_set",
+                               "test_3dhp.npz"))
+    seq3d, seq2d = split_mpi3d_sequences(mpi["pose3d"], mpi["pose2d"])
+    if args.posenet_name == "mulit_farme_videopose":
+        mpi3d_eval = UnchunkedSequences([np.zeros(1)] * len(seq3d), seq3d,
+                                        seq2d, pad=pad)
+    else:
+        mpi3d_eval = ChunkWindows(args.batch_size, None, seq3d, seq2d, pad=pad,
+                                  full_3d_window=False, shuffle=False,
+                                  drop_last=False)
+    return bundle, train_loader, gan_loader, h36m_eval, mpi3d_eval, rf
+
+
+def video_reskin_update(args, bundle, templates, rng):
+    """Per-sequence single-template re-skin + re-projection, rebuilding the
+    GAN clip loader (video_mode_operate.py:879-966)."""
+    import jax.numpy as jnp
+
+    from dhaug_tpu.ops.bones import reskin_pose
+    from dhaug_tpu.ops.camera import project_to_2d
+
+    rf = _receptive_field(args)
+    pad = (rf - 1) // 2
+    new3d, new2d = [], []
+    for seq3d, cam in zip(bundle.poses_train, bundle.cams_train):
+        tmpl = templates[rng.integers(0, templates.shape[0])]
+        p3 = np.asarray(reskin_pose(jnp.asarray(seq3d),
+                                    jnp.asarray(tmpl)[None]))
+        cam9 = np.asarray(cam)[:9][None]
+        p2 = np.asarray(project_to_2d(jnp.asarray(p3),
+                                      jnp.broadcast_to(jnp.asarray(cam9),
+                                                       (p3.shape[0], 9))))
+        new3d.append(p3)
+        new2d.append(p2)
+    return ChunkWindows(args.batch_size, bundle.cams_train, new3d, new2d,
+                        pad=pad, full_3d_window=True, shuffle=True,
+                        random_seed=int(rng.integers(0, 2 ** 31)))
+
+
+def _video_eval_batches(loader, batch_size: int, rf: int, bucket: int = 128):
+    """Adapt the two loader flavours to (inputs_2d, targets_3d, valid)
+    fixed-ish shapes.  Whole sequences are bucket-padded (edge) so the
+    dilated net sees few distinct XLA shapes."""
+    if isinstance(loader, UnchunkedSequences):
+        for _cam, seq3d, seq2d in loader.next_epoch():
+            T = seq3d.shape[1]
+            T_pad = -(-T // bucket) * bucket
+            extra = T_pad - T
+            if extra:
+                seq2d = np.pad(seq2d, ((0, 0), (0, extra), (0, 0), (0, 0)), "edge")
+                seq3d = np.pad(seq3d, ((0, 0), (0, extra), (0, 0), (0, 0)), "edge")
+            yield seq2d, seq3d, T
+    else:
+        for cam, w3d, w2d in loader.next_epoch():
+            n = w3d.shape[0]
+            if n < batch_size:  # pad the remainder batch
+                padn = batch_size - n
+                w2d = np.concatenate([w2d, np.repeat(w2d[-1:], padn, 0)])
+                w3d = np.concatenate([w3d, np.repeat(w3d[-1:], padn, 0)])
+            yield w2d, w3d, n
+
+
+def video_mode_main(args, train_subjects: List[str]):
+    import jax
+
+    from dhaug_tpu.gan.video import build_video_gan, run_video_gan_epoch
+    from dhaug_tpu.models.factory import init_posenet, make_posenet
+    from dhaug_tpu.train.posenet import (evaluate, make_posenet_eval_step,
+                                         make_posenet_train_step, train_epoch)
+    from dhaug_tpu.train.runners import make_logger, make_run_dir
+    from dhaug_tpu.train.state import (adam_posenet, lambda_lr, make_state,
+                                       set_learning_rate)
+    from dhaug_tpu.utils.checkpoint import save_ckpt
+
+    np_rng = np.random.default_rng(args.random_seed)
+    key = jax.random.PRNGKey(args.random_seed)
+
+    (bundle, train_loader, gan_loader, h36m_eval, mpi3d_eval,
+     rf) = video_data_preparation(args)
+    print(f"==> receptive field: {rf}")
+
+    print("==> Creating PoseNet model...")
+    model = make_posenet(args.posenet_name, stages=args.stages,
+                         dropout=args.dropout, architecture=args.architecture,
+                         skeleton=bundle.dataset.skeleton(), flag="train")
+    eval_model = make_posenet(args.posenet_name, stages=args.stages,
+                              dropout=args.dropout,
+                              architecture=args.architecture,
+                              skeleton=bundle.dataset.skeleton(), flag="test")
+    key, k_init = jax.random.split(key)
+    example = np.zeros((2, rf, 16, 2), np.float32)
+    params, batch_stats = init_posenet(model, k_init, example)
+    pos_tx = adam_posenet(args.lr_p, max_norm=1.0 if args.max_norm else 1e9)
+    pos_state = make_state(pos_tx, params, batch_stats)
+    pos_step = make_posenet_train_step(model, pos_tx, criterion="mpjpe")
+    # evaluation uses the dilated twin with the training weights
+    forward, flip_forward = make_posenet_eval_step(eval_model)
+
+    key, k_gan = jax.random.split(key)
+    gan = build_video_gan(args, train_subjects, rf, k_gan) \
+        if args.data_enhancement_method == "GAN" else None
+
+    run_dir = make_run_dir(args)
+    print(f"==> Making checkpoint dir: {run_dir}")
+    logger, summary = make_logger(run_dir, args)
+
+    templates = np.load(os.path.join(args.data_root, "data_extra",
+                                     "bone_length_npy",
+                                     "hm36s15678_bl_templates.npy"))
+
+    def eval_both():
+        h36m = evaluate(forward, pos_state.params, pos_state.batch_stats,
+                        _video_eval_batches(h36m_eval, args.batch_size, rf))
+        dhp = evaluate(forward, pos_state.params, pos_state.batch_stats,
+                       _video_eval_batches(mpi3d_eval, args.batch_size, rf),
+                       flip_forward=flip_forward)
+        return h36m, dhp
+
+    def center_frame_batches(fakes, rng, batch_size):
+        """Fake clip batches: full-clip 2D input, centre-frame 3D target
+        (video_mode_PoseDataSet, video_GAN_fun.py:46-76)."""
+        f3d, f2d, _ = fakes
+        center = (rf - 1) // 2
+        n = f3d.shape[0]
+        idx = rng.permutation(n)
+        stop = n - (n % batch_size)
+        for s in range(0, stop, batch_size):
+            sel = idx[s:s + batch_size]
+            yield f2d[sel], f3d[sel][:, center:center + 1]
+
+    def real_batches(loader):
+        for _cam, w3d, w2d in loader.next_epoch():
+            if w3d.shape[0] < args.batch_size:
+                continue
+            yield w2d, w3d
+
+    dhpp1_best = s911p1_best = None
+    lr_now = args.lr_p
+    trained_epochs = 0  # the reference's scheduler only steps on trained epochs
+    scores = {"h36m": {"p1": 0.0, "p2": 0.0},
+              "dhp": {"p1": 0.0, "p2": 0.0, "pck": 0.0, "auc": 0.0}}
+    fakes = None
+    total_epochs = (args.epochs + args.warmup + args.single_dis_warmup_epoch +
+                    args.additional_train_epoch)
+    gan_epochs_end = args.epochs + args.warmup + args.single_dis_warmup_epoch
+
+    for now_epoch in range(total_epochs):
+        if args.data_enhancement_method == "GAN":
+            gan_loader = video_reskin_update(args, bundle, templates, np_rng)
+            key, k_epoch = jax.random.split(key)
+            use_motion = summary.epoch >= args.single_dis_warmup_epoch
+            gan, fakes = run_video_gan_epoch(gan, gan_loader, args.batch_size,
+                                             k_epoch, summary, use_motion,
+                                             summary.writer)
+
+        train_now = (summary.epoch > (args.warmup + args.single_dis_warmup_epoch)
+                     and args.data_enhancement_method == "GAN") or \
+            args.data_enhancement_method == "normal"
+
+        if train_now:
+            if args.data_enhancement_method == "GAN" and fakes is not None:
+                key, k1 = jax.random.split(key)
+                pos_state, _ = train_epoch(
+                    pos_step, pos_state,
+                    center_frame_batches(fakes, np_rng, args.batch_size), k1,
+                    flip=args.flip_pos_model_input,
+                    playback=args.GAN_video_playback_input, video=True)
+                h36m, dhp = eval_both()
+                logger.append([summary.epoch, 0, h36m["p1"], h36m["p2"],
+                               dhp["p1"], dhp["p2"], dhp["pck"], dhp["auc"]])
+                scores = {"h36m": h36m, "dhp": dhp}
+
+            key, k2 = jax.random.split(key)
+            pos_state, _ = train_epoch(pos_step, pos_state,
+                                       real_batches(train_loader), k2,
+                                       flip=args.flip_pos_model_input,
+                                       playback=args.Pos_video_playback_input,
+                                       video=True)
+            h36m, dhp = eval_both()
+            scores = {"h36m": h36m, "dhp": dhp}
+
+            trained_epochs += 1
+            if now_epoch < gan_epochs_end:
+                lr_now = lambda_lr(args.lr_p, trained_epochs, args.epochs)
+            else:
+                lr_now = lr_now * args.additional_LR_decay
+            pos_state = set_learning_rate(pos_state, max(lr_now, 0.0))
+            print(f"\nEpoch: {summary.epoch} | LR: {lr_now:.8f} "
+                  f"| H36M P1 {scores['h36m']['p1']:.2f} "
+                  f"| 3DHP P1 {scores['dhp']['p1']:.2f}")
+
+        h36m, dhp = scores["h36m"], scores["dhp"]
+        logger.append([summary.epoch, lr_now, h36m["p1"], h36m["p2"],
+                       dhp["p1"], dhp["p2"], dhp.get("pck", 0),
+                       dhp.get("auc", 0)])
+
+        ckpt = {"epoch": summary.epoch, "model_pos": pos_state.params,
+                "batch_stats": pos_state.batch_stats,
+                "posenet_name": args.posenet_name}
+        if dhp["p1"] and (dhpp1_best is None or dhpp1_best > dhp["p1"]):
+            dhpp1_best = dhp["p1"]
+            save_ckpt(ckpt, run_dir, suffix="best_dhp_p1")
+        if h36m["p1"] and (s911p1_best is None or s911p1_best > h36m["p1"]):
+            s911p1_best = h36m["p1"]
+            save_ckpt(ckpt, run_dir, suffix="best_h36m_p1")
+        summary.epoch += 1
+
+    logger.close()
+    return scores

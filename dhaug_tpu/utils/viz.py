@@ -1,0 +1,170 @@
+"""Offline pose visualization (matplotlib Agg).
+
+Capability parity with the reference's plotting helpers
+(models_Fk_GAN/special_operate.py:212-734: my_visual_3D_pos /
+my_visual_2D_pos / loss curves / DOF-angle heatmap / GAN video dumps) and
+the interactive Qt inspector (visual_Fk_DH_byQt.py) — replaced by
+:func:`render_fk_pose` + scripts/visualize_fk.py, which render the DH
+skeleton for chosen angles to files instead of a slider GUI (no display in
+TPU pods).  All functions are no-ops unless a save path is given.
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+import numpy as np
+
+# 16-joint H36M skeleton edges for plotting
+SKELETON_EDGES_16 = (
+    (0, 1), (1, 2), (2, 3), (0, 4), (4, 5), (5, 6), (0, 7), (7, 8),
+    (8, 9), (8, 10), (10, 11), (11, 12), (8, 13), (13, 14), (14, 15),
+)
+_LEFT_EDGES = {(0, 4), (4, 5), (5, 6), (8, 10), (10, 11), (11, 12)}
+
+
+def _plt():
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    return plt
+
+
+def plot_pose_grid_3d(poses16: np.ndarray, path: str, cols: int = 4,
+                      title: str = "") -> str:
+    """Grid of 3D skeleton plots; poses16 (N, 16, 3)."""
+    plt = _plt()
+    n = min(len(poses16), cols * cols)
+    fig = plt.figure(figsize=(3 * cols, 3 * ((n + cols - 1) // cols)))
+    for i in range(n):
+        ax = fig.add_subplot((n + cols - 1) // cols, cols, i + 1,
+                             projection="3d")
+        p = poses16[i]
+        for a, b in SKELETON_EDGES_16:
+            color = "tab:blue" if (a, b) in _LEFT_EDGES else "tab:red"
+            ax.plot([p[a, 0], p[b, 0]], [p[a, 1], p[b, 1]],
+                    [p[a, 2], p[b, 2]], c=color, lw=2)
+        ax.scatter(p[:, 0], p[:, 1], p[:, 2], s=4, c="k")
+        ax.set_box_aspect((1, 1, 1))
+        ax.set_xticks([]), ax.set_yticks([]), ax.set_zticks([])
+    if title:
+        fig.suptitle(title)
+    fig.tight_layout()
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    fig.savefig(path, dpi=80)
+    plt.close(fig)
+    return path
+
+
+def plot_pose_grid_2d(poses16: np.ndarray, path: str, cols: int = 4,
+                      title: str = "") -> str:
+    """Grid of 2D skeleton plots; poses16 (N, 16, 2)."""
+    plt = _plt()
+    n = min(len(poses16), cols * cols)
+    fig, axes = plt.subplots((n + cols - 1) // cols, cols,
+                             figsize=(2.5 * cols, 2.5 * ((n + cols - 1) // cols)),
+                             squeeze=False)
+    for i in range(n):
+        ax = axes[i // cols][i % cols]
+        p = poses16[i]
+        for a, b in SKELETON_EDGES_16:
+            color = "tab:blue" if (a, b) in _LEFT_EDGES else "tab:red"
+            ax.plot([p[a, 0], p[b, 0]], [p[a, 1], p[b, 1]], c=color, lw=2)
+        ax.scatter(p[:, 0], p[:, 1], s=4, c="k")
+        ax.invert_yaxis()
+        ax.set_xticks([]), ax.set_yticks([])
+    for j in range(n, axes.size):
+        axes[j // cols][j % cols].axis("off")
+    if title:
+        fig.suptitle(title)
+    fig.tight_layout()
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    fig.savefig(path, dpi=80)
+    plt.close(fig)
+    return path
+
+
+def plot_video_strip(clip3d: np.ndarray, clip2d: Optional[np.ndarray],
+                     path: str, title: str = "") -> str:
+    """One row of 3D frames (+ optional 2D row) for a clip (F, 16, 3) — the
+    GAN video dump (special_operate.my_visual_GAN_video)."""
+    plt = _plt()
+    F = clip3d.shape[0]
+    rows = 2 if clip2d is not None else 1
+    fig = plt.figure(figsize=(2.2 * F, 2.5 * rows))
+    for f in range(F):
+        ax = fig.add_subplot(rows, F, f + 1, projection="3d")
+        p = clip3d[f]
+        for a, b in SKELETON_EDGES_16:
+            ax.plot([p[a, 0], p[b, 0]], [p[a, 1], p[b, 1]],
+                    [p[a, 2], p[b, 2]], lw=1.5)
+        ax.set_xticks([]), ax.set_yticks([]), ax.set_zticks([])
+        if clip2d is not None:
+            ax2 = fig.add_subplot(rows, F, F + f + 1)
+            q = clip2d[f]
+            for a, b in SKELETON_EDGES_16:
+                ax2.plot([q[a, 0], q[b, 0]], [q[a, 1], q[b, 1]], lw=1.5)
+            ax2.invert_yaxis()
+            ax2.set_xticks([]), ax2.set_yticks([])
+    if title:
+        fig.suptitle(title)
+    fig.tight_layout()
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    fig.savefig(path, dpi=70)
+    plt.close(fig)
+    return path
+
+
+def plot_dof_angle_heatmap(angles: np.ndarray, path: str,
+                           bins: int = 73) -> str:
+    """Distribution heatmap of the generator's 37 DOF/rot angles over a
+    batch — special_operate.my_draw_DOF_angle_distribute (:347)."""
+    plt = _plt()
+    angles = np.asarray(angles)
+    hist = np.stack([
+        np.histogram(angles[:, d], bins=bins, range=(-182.5, 182.5))[0]
+        for d in range(angles.shape[1])])
+    fig, ax = plt.subplots(figsize=(10, 6))
+    im = ax.imshow(hist, aspect="auto", cmap="hot",
+                   extent=[-182.5, 182.5, angles.shape[1], 0])
+    ax.set_xlabel("angle (deg)")
+    ax.set_ylabel("DOF index")
+    fig.colorbar(im)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    fig.savefig(path, dpi=80)
+    plt.close(fig)
+    return path
+
+
+def plot_metric_curves(logfile: str, path: str,
+                       columns: Sequence[str] = ("error_h36m_p1",
+                                                 "error_3dhp_p1")) -> str:
+    """Loss/metric curves from a Logger log.txt (utils/log.py plot)."""
+    plt = _plt()
+    names = None
+    rows = []
+    with open(logfile) as f:
+        for line in f:
+            parts = line.rstrip("\n").split("\t")
+            if names is None:
+                if parts and parts[0] == "epoch":
+                    names = parts
+                continue
+            if len(parts) == len(names):
+                try:
+                    rows.append([float(x) for x in parts])
+                except ValueError:
+                    pass
+    data = np.asarray(rows)
+    fig, ax = plt.subplots(figsize=(8, 5))
+    for col in columns:
+        if names and col in names:
+            ax.plot(data[:, names.index("epoch")], data[:, names.index(col)],
+                    label=col)
+    ax.set_xlabel("epoch")
+    ax.set_ylabel("mm")
+    ax.legend()
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    fig.savefig(path, dpi=80)
+    plt.close(fig)
+    return path

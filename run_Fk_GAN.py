@@ -81,9 +81,44 @@ def single_frame_mode_main(args, bundle, train_subjects):
     s911p1_best = None
     lr_now = 0.0
     scores = {"h36m": {"p1": 0, "p2": 0}, "dhp": {"p1": 0, "p2": 0, "pck": 0, "auc": 0}}
+    start_epoch = 0
+
+    # Full-state resume (the reference's --resume/--GAN_resume flags have no
+    # load path, SURVEY.md §5; here the complete training state round-trips).
+    from dhaug_tpu.utils.checkpoint import load_ckpt, restore_into
+    resume_path = args.resume or args.GAN_resume
+    if resume_path:
+        saved = load_ckpt(resume_path)
+        pos_state = restore_into(pos_state, saved["pos_state"])
+        if gan is not None and "gen_state" in saved:
+            gan = gan._replace(
+                gen_state=restore_into(gan.gen_state, saved["gen_state"]),
+                d3d_state=restore_into(gan.d3d_state, saved["d3d_state"]),
+                d2d_state=restore_into(gan.d2d_state, saved["d2d_state"]))
+        summary.load_state_dict(saved["summary"])
+        np_rng.bit_generator.state = saved["np_rng"]
+        key = jax.numpy.asarray(saved["key"])
+        start_epoch = int(saved["epoch"]) + 1
+        summary.epoch = start_epoch  # the snapshot is taken pre-increment
+        lr_now = float(saved.get("lr_now", 0.0))
+        dhpp1_best = saved.get("dhpp1_best")
+        s911p1_best = saved.get("s911p1_best")
+        print(f"==> Resumed from {resume_path} at epoch {start_epoch}")
+
+    def full_state_ckpt(now_epoch):
+        state = {"epoch": now_epoch, "lr_now": lr_now,
+                 "dhpp1_best": dhpp1_best, "s911p1_best": s911p1_best,
+                 "pos_state": pos_state, "summary": summary.state_dict(),
+                 "np_rng": np_rng.bit_generator.state,
+                 "key": np.asarray(key)}
+        if gan is not None:
+            state.update({"gen_state": gan.gen_state,
+                          "d3d_state": gan.d3d_state,
+                          "d2d_state": gan.d2d_state})
+        return state
 
     fake_ds = None
-    for now_epoch in range(args.epochs + args.additional_train_epoch):
+    for now_epoch in range(start_epoch, args.epochs + args.additional_train_epoch):
         if args.data_enhancement_method in ("GAN", "normal"):
             gt2d3d = reskin_dataset(bundle.train_gt2d3d, templates, np_rng)
             target_2d = PoseTarget(gt2d3d.poses_2d)
@@ -163,11 +198,8 @@ def single_frame_mode_main(args, bundle, train_subjects):
             s911p1_best = h36m["p1"]
             save_ckpt(ckpt, run_dir, suffix="best_h36m_p1")
 
-        if gan is not None and (summary.epoch + 1) % max(args.snapshot, 1) == 0:
-            save_ckpt({"epoch": summary.epoch,
-                       "gen": gan.gen_state.params,
-                       "d3d": gan.d3d_state.params,
-                       "d2d": gan.d2d_state.params}, run_dir, suffix="gan_latest")
+        if (summary.epoch + 1) % max(args.snapshot, 1) == 0:
+            save_ckpt(full_state_ckpt(now_epoch), run_dir, suffix="resume_latest")
         summary.epoch += 1
 
     logger.close()

@@ -1,0 +1,193 @@
+#!/usr/bin/env python
+"""Reference-style PyTorch baseline for the augmented-pose synthesis rate.
+
+Implements the reference's computational pattern from scratch (NOT copied):
+a dense generator trunk (Linear+ReLU prelude, three 2-Linear residual
+blocks, 35-dim head) followed by the DH forward-kinematics evaluation as the
+reference structures it — per-link 4x4 matrices built by indexed assignment
+(forward_kinematics_DH_model.py:80-116) and *sequential* batched matmuls
+down each chain with cloned intermediates (:659-677), then camera projection.
+This is the per-batch work of one fake-pose synthesis in
+GAN_solutions_FK_generator.
+
+Run on CPU (no CUDA in this image) to produce the poses/sec baseline that
+bench.py compares against.  The reference itself ran single-GPU and never
+measured throughput (SURVEY.md §6), so this same-machine torch measurement
+is the reproducible stand-in.
+"""
+import argparse
+import time
+
+import numpy as np
+import torch
+import torch.nn as nn
+
+DEG = np.pi / 180.0
+
+
+class ResBlock(nn.Module):
+    def __init__(self, dim):
+        super().__init__()
+        self.fc1 = nn.Linear(dim, dim)
+        self.fc2 = nn.Linear(dim, dim)
+        self.relu = nn.ReLU(True)
+
+    def forward(self, x):
+        y = self.relu(self.fc1(x))
+        y = self.fc2(y)
+        return self.relu(y + x)
+
+
+class Trunk(nn.Module):
+    def __init__(self, dense=1000, out=35):
+        super().__init__()
+        self.pre = nn.Sequential(nn.Linear(128, dense), nn.ReLU(True))
+        self.b1, self.b2, self.b3 = ResBlock(dense), ResBlock(dense), ResBlock(dense)
+        self.head = nn.Linear(dense, out)
+
+    def forward(self, z):
+        x = self.pre(z)
+        x = self.b3(self.b2(self.b1(x)))
+        return self.head(x)
+
+
+def dh_matrix_batch(alpha_deg, a, d, theta_deg):
+    """(B,) tensors -> (B, 4, 4) via indexed assignment, reference-style."""
+    B = theta_deg.shape[0]
+    al = alpha_deg * DEG
+    th = theta_deg * DEG
+    m = torch.zeros((B, 4, 4))
+    m[:, 0, 0] = torch.cos(th)
+    m[:, 0, 1] = -torch.sin(th)
+    m[:, 0, 3] = a
+    m[:, 1, 0] = torch.sin(th) * torch.cos(al)
+    m[:, 1, 1] = torch.cos(th) * torch.cos(al)
+    m[:, 1, 2] = -torch.sin(al)
+    m[:, 1, 3] = -torch.sin(al) * d
+    m[:, 2, 0] = torch.sin(th) * torch.sin(al)
+    m[:, 2, 1] = torch.cos(th) * torch.sin(al)
+    m[:, 2, 2] = torch.cos(al)
+    m[:, 2, 3] = torch.cos(al) * d
+    m[:, 3, 3] = 1.0
+    return m
+
+
+CHAINS = {
+    "right_leg": dict(alpha=[0, -90, -90, 0, 0], theta=[0, -90, 180, 0, 0]),
+    "left_leg": dict(alpha=[0, 90, 90, 0, 0], theta=[180, -90, 0, 0, 0]),
+    "body": dict(alpha=[0] + [-90] * 11 + [90],
+                 theta=[90] + [-90] * 10 + [0, 0]),
+    "right_hand": dict(alpha=[-90, -90, -90, 0, 0], theta=[-180, -90, 180, 0, 0]),
+    "left_hand": dict(alpha=[-90, 90, 90, 0, 0], theta=[0, -90, 0, 0, 0]),
+}
+
+
+def fk_reference_style(angles33, bone_len, B):
+    """Sequential per-chain cumulative bmm, as the reference does."""
+    ones = torch.ones(B)
+    zeros = torch.zeros(B)
+
+    def chain_mats(name, n, ang, a_cols, d_cols):
+        spec = CHAINS[name]
+        mats = []
+        for i in range(n):
+            mats.append(dh_matrix_batch(
+                torch.full((B,), float(spec["alpha"][i])),
+                a_cols[i], d_cols[i],
+                torch.full((B,), float(spec["theta"][i])) + ang[:, i]))
+        return mats
+
+    bl = bone_len
+    rl_a = [bl[:, 5], zeros, zeros, bl[:, 3], bl[:, 1]]
+    ll_a = [-bl[:, 4], zeros, zeros, bl[:, 2], bl[:, 0]]
+    body_a = [zeros] * 12 + [bl[:, 14]]
+    body_d = [zeros, zeros, zeros, bl[:, 6], zeros, zeros, bl[:, 7]] + [zeros] * 6
+    rh_a = [-bl[:, 9], zeros, zeros, bl[:, 11], bl[:, 13]]
+    lh_a = [bl[:, 8], zeros, zeros, bl[:, 10], bl[:, 12]]
+    z5 = [zeros] * 5
+
+    chains = {
+        "right_leg": chain_mats("right_leg", 5, angles33[:, 0:5], rl_a, z5),
+        "left_leg": chain_mats("left_leg", 5, angles33[:, 5:10], ll_a, z5),
+        "body": chain_mats("body", 13, angles33[:, 10:23], body_a, body_d),
+        "right_hand": chain_mats("right_hand", 5, angles33[:, 23:28], rh_a, z5),
+        "left_hand": chain_mats("left_hand", 5, angles33[:, 28:33], lh_a, z5),
+    }
+    # arm chains prefixed with the first 9 body links
+    chains["right_hand"] = [m.clone() for m in chains["body"][:9]] + chains["right_hand"]
+    chains["left_hand"] = [m.clone() for m in chains["body"][:9]] + chains["left_hand"]
+
+    points = {}
+    for name, mats in chains.items():
+        cum = mats[0]
+        cums = [cum]
+        for m in mats[1:]:
+            cum = torch.bmm(cum.clone(), m.clone())
+            cums.append(cum)
+        points[name] = torch.stack([c[:, :3, 3] for c in cums], dim=1)
+
+    pose = torch.zeros((B, 32, 3))
+    pose[:, 0] = points["body"][:, 0]
+    pose[:, 1] = points["right_leg"][:, 0]
+    pose[:, 2] = points["right_leg"][:, 3]
+    pose[:, 3] = points["right_leg"][:, 4]
+    pose[:, 6] = points["left_leg"][:, 0]
+    pose[:, 7] = points["left_leg"][:, 3]
+    pose[:, 8] = points["left_leg"][:, 4]
+    pose[:, 12] = points["body"][:, 3]
+    pose[:, 13] = points["body"][:, 6]
+    pose[:, 14] = points["body"][:, 12]
+    pose[:, 15] = points["body"][:, 12]
+    pose[:, 17] = points["left_hand"][:, 9]
+    pose[:, 18] = points["left_hand"][:, 12]
+    pose[:, 19] = points["left_hand"][:, 13]
+    pose[:, 25] = points["right_hand"][:, 9]
+    pose[:, 26] = points["right_hand"][:, 12]
+    pose[:, 27] = points["right_hand"][:, 13]
+    return pose
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=1024)
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--dense", type=int, default=1000)
+    args = ap.parse_args()
+
+    torch.manual_seed(0)
+    trunk = Trunk(args.dense)
+    bone_len = torch.rand(args.batch, 15) * 0.4 + 0.2
+
+    def one_batch():
+        z = torch.randn(args.batch, 128)
+        head = trunk(z)
+        ang = torch.tanh(head[:, :33]) * 180.0
+        pose32 = fk_reference_style(ang, bone_len, args.batch)
+        pose16 = pose32[:, [0, 1, 2, 3, 6, 7, 8, 12, 13, 15, 17, 18, 19, 25, 26, 27]]
+        # projection: pinhole + distortion
+        f = torch.tensor([2.29, 2.287])
+        c = torch.tensor([0.025, 0.028])
+        k = torch.tensor([-0.207, 0.247, -0.003])
+        p = torch.tensor([-0.001, -0.001])
+        X = pose16 + torch.tensor([0.0, 0.0, 4.0])
+        XX = torch.clamp(X[..., :2] / X[..., 2:], -1, 1)
+        r2 = (XX ** 2).sum(-1, keepdim=True)
+        radial = 1 + (k * torch.cat([r2, r2 ** 2, r2 ** 3], -1)).sum(-1, keepdim=True)
+        tan = (p * XX).sum(-1, keepdim=True)
+        pose2d = f * (XX * (radial + tan) + p * r2) + c
+        return pose16, pose2d
+
+    with torch.no_grad():
+        one_batch()  # warmup
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            one_batch()
+        dt = time.perf_counter() - t0
+    pps = args.batch * args.iters / dt
+    print(f"reference-style torch ({'cuda' if torch.cuda.is_available() else 'cpu'}): "
+          f"{pps:.1f} poses/s  ({dt / args.iters * 1000:.1f} ms/batch of {args.batch})")
+    return pps
+
+
+if __name__ == "__main__":
+    main()

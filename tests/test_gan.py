@@ -1,0 +1,151 @@
+"""Tests for the WGAN-GP machinery and the traditional augmenter."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dhaug_tpu.gan.traditional import (TRAD_HI, TRAD_LO, TraditionalConfig,
+                                       generate_traditional_poses,
+                                       sample_traditional_angles)
+from dhaug_tpu.gan.wgan import (GanHyper, camera_bank, gradient_penalty,
+                                make_critic_step, make_single_frame_steps)
+from dhaug_tpu.models.discriminators import Fk2DDiscriminator, Fk3DDiscriminator
+from dhaug_tpu.models.generator import FkGeneratorNet, GeneratorConfig
+from dhaug_tpu.train.state import adam_gan, make_state
+
+KEY = jax.random.PRNGKey(0)
+
+
+def _critic_setup(dense=32):
+    d3 = Fk3DDiscriminator(dense_dim=dense)
+    pose = jax.random.normal(KEY, (8, 16, 3))
+    params = d3.init(KEY, pose)["params"]
+    apply_fn = lambda p, x: d3.apply({"params": p}, x)
+    return apply_fn, params, pose
+
+
+class TestGradientPenalty:
+    def test_linear_critic_penalty_matches_closed_form(self):
+        """For D(x) = w.x the GP is lambda*(|w| - 1)^2 regardless of data."""
+        w = jnp.full((48,), 0.25)
+
+        def apply_fn(params, x):
+            return x.reshape((x.shape[0], -1)) @ params[:, None]
+
+        real = jax.random.normal(KEY, (16, 16, 3))
+        fake = jax.random.normal(jax.random.PRNGKey(1), (16, 16, 3))
+        gp = gradient_penalty(apply_fn, w, real, fake, KEY, lambda_gp=10.0)
+        wnorm = float(jnp.linalg.norm(w))
+        np.testing.assert_allclose(float(gp), 10.0 * (wnorm - 1.0) ** 2, rtol=1e-5)
+
+    def test_penalty_nonnegative_finite(self):
+        apply_fn, params, pose = _critic_setup()
+        gp = gradient_penalty(apply_fn, params, pose, pose + 0.1, KEY, 10.0)
+        assert float(gp) >= 0 and np.isfinite(float(gp))
+
+
+class TestCriticStep:
+    def test_step_moves_wasserstein(self):
+        apply_fn, params, _ = _critic_setup()
+        tx = adam_gan(1e-3)
+        state = make_state(tx, params)
+        step = make_critic_step(apply_fn, tx, lambda_gp=10.0)
+
+        real = jax.random.normal(KEY, (32, 16, 3)) * 0.3
+        fake = real + 0.5  # clearly separable
+        w0 = None
+        for i in range(20):
+            state, m = step(state, real, fake, jax.random.PRNGKey(i))
+            if w0 is None:
+                w0 = float(m["wasserstein"])
+        # after training, the critic should separate real from fake better
+        assert float(m["wasserstein"]) > w0
+
+    def test_metrics_keys(self):
+        apply_fn, params, pose = _critic_setup()
+        tx = adam_gan()
+        state = make_state(tx, params)
+        step = make_critic_step(apply_fn, tx, 10.0)
+        _, m = step(state, pose, pose + 0.1, KEY)
+        assert set(m) == {"d_real", "d_fake", "gp", "d_cost", "wasserstein"}
+
+
+class TestSingleFrameSteps:
+    def _build(self, flip=True):
+        gen_cfg = GeneratorConfig(dense_dim=32)
+        hyper = GanHyper(flip=flip)
+        gen = FkGeneratorNet(gen_cfg)
+        d3d = Fk3DDiscriminator(dense_dim=32)
+        d2d = Fk2DDiscriminator(dense_dim=32)
+        gp = gen.init(KEY, jnp.zeros((2, 128)))["params"]
+        p3 = d3d.init(KEY, jnp.zeros((2, 16, 3)))["params"]
+        p2 = d2d.init(KEY, jnp.zeros((2, 16, 2)))["params"]
+        txs = [adam_gan() for _ in range(3)]
+        quats, trans, intrs = camera_bank(["S1"])
+        steps = make_single_frame_steps(
+            lambda p, x: gen.apply({"params": p}, x),
+            lambda p, x: d3d.apply({"params": p}, x),
+            lambda p, x: d2d.apply({"params": p}, x),
+            txs[0], txs[1], txs[2], gen_cfg, hyper, quats, trans, intrs)
+        return steps, make_state(txs[2], gp), make_state(txs[0], p3), \
+            make_state(txs[1], p2), quats, trans, intrs
+
+    def test_full_iteration(self):
+        steps, gen_state, d3d_state, d2d_state, quats, trans, intrs = self._build()
+        B = 8
+        real = jax.random.normal(KEY, (B, 16, 3)) * 0.3
+        cam16 = jnp.concatenate([
+            jnp.broadcast_to(intrs[0], (B, 9)),
+            jnp.broadcast_to(quats[0], (B, 4)),
+            jnp.broadcast_to(trans[0], (B, 3))], axis=1)
+        tgt2d = jax.random.normal(KEY, (B, 16, 2)) * 0.3
+
+        (d3d_state, d2d_state, cam_idx, bone_len, fake3d, fake2d, intr,
+         metrics) = steps.critics_step(d3d_state, d2d_state, gen_state.params,
+                                       real, cam16, tgt2d, KEY)
+        assert fake3d.shape == (B, 16, 3)
+        assert fake2d.shape == (B, 16, 2)
+        assert bone_len.shape == (B, 15)
+        assert np.isfinite(float(metrics["3d_wasserstein"]))
+
+        gen_before = jax.tree.leaves(gen_state.params)[0].copy()
+        gen_state, gm = steps.generator_step(gen_state, d3d_state.params,
+                                             d2d_state.params, bone_len,
+                                             cam_idx, KEY)
+        assert np.isfinite(float(gm["g_cost"]))
+        gen_after = jax.tree.leaves(gen_state.params)[0]
+        assert not np.allclose(np.asarray(gen_before), np.asarray(gen_after))
+
+
+class TestTraditional:
+    def test_angles_within_ranges(self):
+        angles33, grot = sample_traditional_angles(KEY, 256)
+        a = np.asarray(angles33)
+        lo = TRAD_LO[[i for i in range(34) if i != 23]]
+        hi = TRAD_HI[[i for i in range(34) if i != 23]]
+        assert np.all(a >= lo - 1e-4) and np.all(a <= hi + 1e-4)
+        g = np.asarray(grot)
+        assert np.all(np.abs(g[:, :2]) <= 20 + 1e-4)
+        assert np.all(np.abs(g[:, 2]) <= 180 + 1e-4)
+
+    def test_generate_poses(self):
+        rng = np.random.default_rng(0)
+        pool = rng.normal(size=(64, 16, 3)).astype(np.float32) * 0.3
+        cfg = TraditionalConfig(n_poses=32)
+        pose16, angles, grot, bl, root = generate_traditional_poses(
+            KEY, jnp.asarray(pool), cfg)
+        assert pose16.shape == (32, 16, 3)
+        # first pose is the rest pose (zero angles)
+        np.testing.assert_allclose(np.asarray(angles)[0], 0.0, atol=0)
+        # roots come from the pool
+        roots = np.asarray(root)
+        pool_roots = pool[:, 0]
+        for r in roots[:5]:
+            assert np.any(np.all(np.isclose(pool_roots, r, atol=1e-5), axis=1))
+
+    def test_projection_through_cameras(self):
+        from dhaug_tpu.gan.traditional import project_through_cameras
+        quats, trans, intrs = camera_bank(["S1"])
+        pose = jax.random.normal(KEY, (16, 16, 3)) * 0.3 + jnp.asarray([0, 0, 1.0])
+        p3, p2 = project_through_cameras(pose, quats, trans, intrs)
+        assert p3.shape == (4 * 16, 16, 3)
+        assert p2.shape == (4 * 16, 16, 2)

@@ -1,0 +1,169 @@
+"""Tests for the training layer: posenet steps, schedules, checkpoints, data."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dhaug_tpu.data.loaders import PoseDataset, PoseTarget, fetch
+from dhaug_tpu.models.factory import init_posenet, make_posenet
+from dhaug_tpu.train.posenet import (evaluate, make_posenet_eval_step,
+                                     make_posenet_train_step, root_relative,
+                                     train_epoch)
+from dhaug_tpu.train.state import (adam_gan, adam_posenet,
+                                   current_learning_rate, lambda_lr,
+                                   make_state, set_learning_rate, step_exp_lr)
+
+KEY = jax.random.PRNGKey(0)
+
+
+def _mlp_setup():
+    model = make_posenet("mlp", stages=1)
+    ex = jnp.zeros((4, 16, 2))
+    params, bstats = init_posenet(model, KEY, ex)
+    tx = adam_posenet(1e-3)
+    state = make_state(tx, params, bstats)
+    return model, tx, state
+
+
+class TestPosenetStep:
+    def test_loss_decreases_on_fixed_batch(self):
+        model, tx, state = _mlp_setup()
+        step = make_posenet_train_step(model, tx, "mse")
+        x = jax.random.normal(KEY, (32, 16, 2))
+        y = root_relative(jax.random.normal(KEY, (32, 16, 3)) * 0.3)
+        losses = []
+        for i in range(15):
+            state, loss = step(state, x, y, jax.random.PRNGKey(i))
+            losses.append(float(loss))
+        assert losses[-1] < losses[0]
+
+    def test_batch_stats_update(self):
+        model, tx, state = _mlp_setup()
+        step = make_posenet_train_step(model, tx, "mse")
+        before = jax.tree.leaves(state.batch_stats)[0].copy()
+        x = jax.random.normal(KEY, (32, 16, 2))
+        y = jnp.zeros((32, 16, 3))
+        state, _ = step(state, x, y, KEY)
+        after = jax.tree.leaves(state.batch_stats)[0]
+        assert not np.allclose(np.asarray(before), np.asarray(after))
+
+    def test_train_epoch_with_flip(self):
+        model, tx, state = _mlp_setup()
+        step = make_posenet_train_step(model, tx, "mse")
+        batches = [(np.random.default_rng(0).normal(size=(8, 16, 2)).astype(np.float32),
+                    np.random.default_rng(1).normal(size=(8, 16, 3)).astype(np.float32))]
+        state, loss = train_epoch(step, state, iter(batches), KEY, flip=True)
+        assert np.isfinite(loss)
+
+
+class TestEvaluate:
+    def test_perfect_predictor_scores_zero(self):
+        model, tx, state = _mlp_setup()
+        forward, flip_forward = make_posenet_eval_step(model)
+        y = np.random.default_rng(0).normal(size=(10, 16, 3)).astype(np.float32)
+
+        def perfect_forward(params, stats, x):
+            return jnp.asarray(y)
+
+        m = evaluate(perfect_forward, state.params, state.batch_stats,
+                     [(np.zeros((10, 16, 2), np.float32), y)])
+        assert m["p1"] < 1e-3
+        assert m["pck"] == 100.0
+        assert abs(m["auc"] - 100.0 * 30 / 31) < 0.2  # threshold 0 never hits
+
+    def test_valid_count_masks_padding(self):
+        model, tx, state = _mlp_setup()
+        y = np.random.default_rng(0).normal(size=(8, 16, 3)).astype(np.float32)
+        y_pad = np.concatenate([y, np.zeros((8, 16, 3), np.float32)])
+
+        def fwd(params, stats, x):
+            return jnp.asarray(y_pad)  # perfect on valid, wrong on padding
+
+        tgt = np.concatenate([y, np.ones((8, 16, 3), np.float32)])
+        m = evaluate(fwd, state.params, state.batch_stats,
+                     [(np.zeros((16, 16, 2), np.float32), tgt, 8)])
+        assert m["p1"] < 1e-3  # padding ignored
+
+
+class TestSchedules:
+    def test_lambda_lr_matches_reference_rule(self):
+        # lr_l = 1 - max(0, e - fix)/(nepoch - fix + 1)
+        assert lambda_lr(1.0, 0, 50) == 1.0
+        np.testing.assert_allclose(lambda_lr(1.0, 10, 50), 1 - 10 / 51)
+
+    def test_step_exp_lr(self):
+        np.testing.assert_allclose(step_exp_lr(1e-3, 100000, 100000, 0.96),
+                                   1e-3 * 0.96)
+
+    def test_set_learning_rate_roundtrip(self):
+        _, tx, state = _mlp_setup()
+        state = set_learning_rate(state, 5e-4)
+        np.testing.assert_allclose(current_learning_rate(state), 5e-4)
+        # for the chained (clip + adam) posenet optimizer too
+        tx2 = adam_gan()
+        from dhaug_tpu.models.discriminators import Fk2DDiscriminator
+        d = Fk2DDiscriminator(dense_dim=16)
+        p = d.init(KEY, jnp.zeros((2, 16, 2)))["params"]
+        s2 = make_state(tx2, p)
+        s2 = set_learning_rate(s2, 1e-5)
+        np.testing.assert_allclose(current_learning_rate(s2), 1e-5)
+
+
+class TestCheckpoint:
+    def test_roundtrip(self, tmp_path):
+        from dhaug_tpu.utils.checkpoint import load_ckpt, restore_into, save_ckpt
+        model, tx, state = _mlp_setup()
+        path = save_ckpt({"epoch": 3, "state_dict": state.params,
+                          "batch_stats": state.batch_stats}, str(tmp_path))
+        ckpt = load_ckpt(path)
+        assert ckpt["epoch"] == 3
+        restored = restore_into(state.params, ckpt["state_dict"])
+        for a, b in zip(jax.tree.leaves(restored), jax.tree.leaves(state.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+    def test_restore_shape_mismatch_raises(self, tmp_path):
+        import pytest
+        from dhaug_tpu.utils.checkpoint import restore_into
+        t = {"w": np.zeros((2, 3))}
+        s = {"w": np.zeros((3, 2))}
+        with pytest.raises(ValueError):
+            restore_into(t, s)
+
+
+class TestReskin:
+    def test_reskin_dataset_sets_template_lengths(self):
+        from dhaug_tpu.gan.single_frame import reskin_dataset
+        from dhaug_tpu.ops.bones import bone_lengths, bone_vectors_tree
+        rng = np.random.default_rng(0)
+        n = 40
+        poses = rng.normal(size=(n, 16, 3)).astype(np.float32)
+        cams = np.tile(np.array([[2.29, 2.29, 0.02, 0.02, -0.2, 0.24, -0.003,
+                                  -0.001, -0.001]], np.float32), (n, 1))
+        # push poses in front of the camera so projection is finite
+        poses[..., 2] += 5.0
+        ds = PoseDataset(poses, np.zeros((n, 16, 2), np.float32), cams)
+        templates = rng.uniform(0.2, 0.6, size=(7, 15)).astype(np.float32)
+        out = reskin_dataset(ds, templates, np.random.default_rng(1))
+        lens = np.asarray(bone_lengths(bone_vectors_tree(jnp.asarray(out.poses_3d))))
+        # every frame's bone lengths must equal one of the templates
+        for i in range(0, n, 7):
+            dists = np.abs(templates - lens[i]).max(axis=1)
+            assert dists.min() < 1e-4
+        # 2D was re-projected
+        assert np.isfinite(out.poses_2d).all()
+        assert np.abs(out.poses_2d).max() > 0
+
+
+class TestAugment:
+    def test_flip_involution(self):
+        from dhaug_tpu.ops.augment import flip_pose
+        x = jax.random.normal(KEY, (4, 16, 3))
+        np.testing.assert_allclose(np.asarray(flip_pose(flip_pose(x))),
+                                   np.asarray(x), atol=0)
+
+    def test_time_reverse(self):
+        from dhaug_tpu.ops.augment import time_reverse
+        x = jnp.arange(2 * 3 * 16 * 2, dtype=jnp.float32).reshape(2, 3, 16, 2)
+        r = time_reverse(x)
+        np.testing.assert_allclose(np.asarray(r[:, 0]), np.asarray(x[:, 2]))
