@@ -2,10 +2,14 @@
 """Benchmark: FK-GAN augmented-pose synthesis throughput on one chip.
 
 Measures the full augmented-pair pipeline — noise -> generator trunk
-(Gen_DenseDim=1000) -> angle assembly -> DH forward kinematics -> world pose
--> camera transform -> distorted 2D projection — i.e. the per-batch fake
-synthesis work of the reference's GAN loop, as one jitted program at the
-production batch size (1024).
+(Gen_DenseDim=1000) -> angle assembly -> DH forward kinematics (fused
+Pallas kernel) -> world pose -> camera transform -> distorted 2D projection
+— i.e. the per-batch fake synthesis work of the reference's GAN loop, as one
+jitted program at the production batch size (1024).
+
+Timing is fenced per call (block_until_ready around every dispatch) and the
+reported value is the median over ITERS calls — the most conservative
+synchronous measure; async pipelining only makes real training faster.
 
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "poses/s", "vs_baseline": N}
@@ -19,6 +23,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -27,8 +32,7 @@ TORCH_REFERENCE_POSES_PER_SEC = 7167.7
 
 BATCH = 1024
 DENSE = 1000
-SCAN_STEPS = 64   # batches synthesized per dispatch (device-side lax.scan)
-ITERS = 5         # timed dispatches
+ITERS = 30
 
 
 def main():
@@ -47,6 +51,7 @@ def main():
     from dhaug_tpu.ops.camera import project_to_2d, world_to_camera_batch
     from dhaug_tpu.ops.fk import CANONICAL_BONE_LEN
 
+    on_tpu = jax.devices()[0].platform not in ("cpu",)
     key = jax.random.PRNGKey(0)
     cfg = GeneratorConfig(dense_dim=DENSE)
     net = FkGeneratorNet(cfg)
@@ -54,40 +59,32 @@ def main():
     bone_len = jnp.broadcast_to(jnp.asarray(CANONICAL_BONE_LEN), (BATCH, 15))
     quats, trans, intrs = camera_bank(["S1"])
 
-    def one_batch(params, bone_len, key):
+    @jax.jit
+    def synthesize(params, bone_len, key):
         k_n, k_s = jax.random.split(key)
         noise = jax.random.normal(k_n, (BATCH, 128))
         head = net.apply({"params": params}, noise)
         scaler = sample_scaler8(k_s, BATCH, "different")
-        pose16 = synthesize_poses(head, bone_len, scaler, cfg)
+        # fused Pallas FK on TPU (inference path); XLA path elsewhere
+        pose16 = synthesize_poses(head, bone_len, scaler, cfg,
+                                  use_pallas=on_tpu)
         cam3d = world_to_camera_batch(pose16, quats[:1], trans[:1])
         intr = jnp.broadcast_to(intrs[0][None], (BATCH, 9))
         pose2d = project_to_2d(cam3d, intr)
         return cam3d, pose2d
 
-    @jax.jit
-    def synthesize_many(params, bone_len, key):
-        """SCAN_STEPS batches per dispatch: device-side loop so the
-        measurement reflects chip throughput, not host/tunnel latency."""
-        def body(carry, k):
-            cam3d, pose2d = one_batch(params, bone_len, k)
-            # fold the outputs into a running checksum so nothing is DCE'd
-            # but HBM doesn't hold SCAN_STEPS full buffers
-            return carry + cam3d.sum() + pose2d.sum(), ()
-        total, _ = jax.lax.scan(body, 0.0, jax.random.split(key, SCAN_STEPS))
-        return total
-
     # warmup / compile
-    jax.block_until_ready(synthesize_many(params, bone_len, key))
+    jax.block_until_ready(synthesize(params, bone_len, key))
 
-    keys = jax.random.split(jax.random.PRNGKey(1), ITERS)
-    t0 = time.perf_counter()
+    times = []
     for i in range(ITERS):
-        out = synthesize_many(params, bone_len, keys[i])
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+        k = jax.random.PRNGKey(i + 1)
+        t0 = time.perf_counter()
+        jax.block_until_ready(synthesize(params, bone_len, k))
+        times.append(time.perf_counter() - t0)
+    per_call = statistics.median(times)
 
-    pps = BATCH * SCAN_STEPS * ITERS / dt
+    pps = BATCH / per_call
     result = {
         "metric": "augmented poses/sec/chip (FK-GAN sampling)",
         "value": round(pps, 1),

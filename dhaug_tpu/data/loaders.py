@@ -267,6 +267,31 @@ class PoseTarget2D:
             yield self.poses_2d[sel], mask[: len(sel)]
 
 
+@dataclass
+class CmuPoseTarget:
+    """(3D, 2D, cam) sampler where cameras cycle independently of poses —
+    parity with the reference's leftover CmuDatasetPoseTarget
+    (common/data_loader.py:109-129) for external-dataset targets."""
+
+    poses_3d: np.ndarray
+    poses_2d: np.ndarray
+    cams: np.ndarray
+
+    def __len__(self):
+        return len(self.poses_3d)
+
+    def batches(self, rng: np.random.Generator, batch_size: int,
+                drop_last: bool = True) -> Iterator[tuple]:
+        n = len(self)
+        idx = rng.permutation(n)
+        stop = n - (n % batch_size) if drop_last else n
+        n_cams = self.cams.shape[0]
+        for s in range(0, stop, batch_size):
+            sel = idx[s:s + batch_size]
+            yield (self.poses_3d[sel], self.poses_2d[sel],
+                   self.cams[sel % max(n_cams - 1, 1)])
+
+
 def pad_to_batch(arrays: List[np.ndarray], batch_size: int):
     """Edge-pad the leading axis of each array to a multiple of
     ``batch_size``; returns (padded_arrays, valid_count).  Used by eval loops

@@ -69,6 +69,14 @@ def camera_bank(train_subjects) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
             jnp.asarray(np.stack(intrs), jnp.float32))
 
 
+def discriminator_accuracy(prediction, label) -> float:
+    """Fraction of critic outputs within 0.5 of the label — the reference's
+    tensorboard accuracy probe (utils/gan_utils.py:141-155)."""
+    import numpy as np
+    rlt = np.abs(np.asarray(prediction) - np.asarray(label))
+    return float(np.mean(rlt <= 0.5))
+
+
 def gradient_penalty(critic_apply, params, real, fake, key, lambda_gp):
     """Standard WGAN-GP on uniform interpolates, flattened per sample."""
     B = real.shape[0]

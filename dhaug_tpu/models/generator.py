@@ -123,7 +123,8 @@ def scale_bone_lengths(bone_len: jnp.ndarray, scaler8: jnp.ndarray) -> jnp.ndarr
 
 
 def synthesize_poses(head: jnp.ndarray, bone_len: jnp.ndarray,
-                     scaler8: jnp.ndarray, cfg: GeneratorConfig) -> jnp.ndarray:
+                     scaler8: jnp.ndarray, cfg: GeneratorConfig,
+                     use_pallas: bool = False) -> jnp.ndarray:
     """Assemble world poses from the generator head output.
 
     head:     (B, F*35) raw trunk output
@@ -131,6 +132,11 @@ def synthesize_poses(head: jnp.ndarray, bone_len: jnp.ndarray,
     scaler8:  (B, 8) bone-length scaler ratios (shared across a clip's frames,
               Fk_generator.py:383-390)
     returns   (B, 16, 3) world poses, or (B, F, 16, 3) in video mode.
+
+    ``use_pallas`` routes the FK chain through the fused Pallas kernel
+    (ops/fk_pallas.py) — 5.7x faster on TPU but not differentiable; use it on
+    inference/synthesis paths (critic fakes, bulk generation, benchmarks),
+    never inside the generator's gradient.
     """
     B = head.shape[0]
     F = cfg.video_frames
@@ -140,12 +146,20 @@ def synthesize_poses(head: jnp.ndarray, bone_len: jnp.ndarray,
     scaled_bl = scale_bone_lengths(bone_len, scaler8)       # (B, 15)
     scaled_bl = jnp.broadcast_to(scaled_bl[:, None, :], (B, F, 15))
 
-    pose16 = fkops.fk_world_pose(fkops.FKInputs(
-        angles=angles37[..., :33],
-        bone_len=scaled_bl,
-        global_rot=angles37[..., 34:37],
-        root=root,
-    ), n_joints=16)                                          # (B, F, 16, 3)
+    if use_pallas:
+        from dhaug_tpu.ops.fk_pallas import fk_world_pose_pallas
+        pose16 = fk_world_pose_pallas(
+            angles37[..., :33].reshape((B * F, 33)),
+            scaled_bl.reshape((B * F, 15)),
+            angles37[..., 34:37].reshape((B * F, 3)),
+            root.reshape((B * F, 3))).reshape((B, F, 16, 3))
+    else:
+        pose16 = fkops.fk_world_pose(fkops.FKInputs(
+            angles=angles37[..., :33],
+            bone_len=scaled_bl,
+            global_rot=angles37[..., 34:37],
+            root=root,
+        ), n_joints=16)                                      # (B, F, 16, 3)
 
     if F == 1:
         return pose16[:, 0]

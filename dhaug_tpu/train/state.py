@@ -67,3 +67,34 @@ def lambda_lr(base_lr: float, epoch: int, nepoch: int, nepoch_fix: int = 0) -> f
 def step_exp_lr(base_lr: float, step: int, decay_step: int, gamma: float) -> float:
     """Baseline runner's continuous exponential decay (utils/utils.py:115-119)."""
     return base_lr * gamma ** (step / decay_step)
+
+
+def step_lr(base_lr: float, epoch: int, decay_step: int, gamma: float = 0.1) -> float:
+    """StepLR policy of get_scheduler (utils/utils.py:179-181)."""
+    return base_lr * gamma ** (epoch // decay_step)
+
+
+class PlateauScheduler:
+    """ReduceLROnPlateau policy of get_scheduler (utils/utils.py:182-184):
+    multiply lr by ``factor`` after ``patience`` epochs without the monitored
+    metric improving by more than ``threshold`` (relative)."""
+
+    def __init__(self, base_lr: float, factor: float = 0.2,
+                 threshold: float = 0.01, patience: int = 5):
+        self.lr = base_lr
+        self.factor = factor
+        self.threshold = threshold
+        self.patience = patience
+        self.best = float("inf")
+        self.bad_epochs = 0
+
+    def step(self, metric: float) -> float:
+        if metric < self.best * (1.0 - self.threshold):
+            self.best = metric
+            self.bad_epochs = 0
+        else:
+            self.bad_epochs += 1
+            if self.bad_epochs > self.patience:
+                self.lr *= self.factor
+                self.bad_epochs = 0
+        return self.lr

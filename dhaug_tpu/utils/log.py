@@ -26,13 +26,18 @@ class Logger:
         if fpath is not None:
             if resume and os.path.exists(fpath):
                 with open(fpath, "r") as f:
-                    name_line = f.readline()
-                    self.names = name_line.rstrip().split("\t")
-                    self.numbers = {name: [] for name in self.names}
                     for line in f:
-                        vals = line.rstrip().split("\t")
-                        for i, v in enumerate(vals):
-                            self.numbers[self.names[i]].append(v)
+                        parts = line.rstrip("\n").split("\t")
+                        if not self.names:
+                            # args dumps precede the header row; the header
+                            # is the first tab-separated non-numeric row
+                            if len(parts) > 1 and parts[0] == "epoch":
+                                self.names = parts
+                                self.numbers = {n: [] for n in self.names}
+                            continue
+                        if len(parts) == len(self.names):
+                            for i, v in enumerate(parts):
+                                self.numbers[self.names[i]].append(v)
                 self.file = open(fpath, "a")
             else:
                 self.file = open(fpath, "w")

@@ -1,0 +1,114 @@
+#!/usr/bin/env python
+"""Bulk FK-GAN pose synthesis — generate a DH-3DHP-style synthetic dataset.
+
+The reference released a one-off synthetic dataset ("DH-3DHP",
+README.md:104-106) generated with its GAN; this CLI is the production
+version: sample N augmented (3D, 2D) pairs from a trained generator
+checkpoint (or, with --random_init, from the prior) with the batch sharded
+over every local device (pod-scale: each chip synthesizes its shard
+independently; ICI is only touched by the final host gather).
+
+Examples:
+    python scripts/synthesize_dataset.py --n_poses 100000 \
+        --out /tmp/dh_synth.npz --random_init true
+    python scripts/synthesize_dataset.py --ckpt ckpt_resume_latest.ckpt \
+        --n_poses 1000000 --out dh_synth.npz
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n_poses", default=100000, type=int)
+    ap.add_argument("--batch", default=8192, type=int, help="per-dispatch batch")
+    ap.add_argument("--out", default="dh_synth.npz", type=str)
+    ap.add_argument("--ckpt", default="", type=str,
+                    help="run_Fk_GAN resume checkpoint with a gen_state")
+    ap.add_argument("--random_init", default=False,
+                    type=lambda x: str(x).lower() == "true")
+    ap.add_argument("--Gen_DenseDim", default=1000, type=int)
+    ap.add_argument("--seed", default=0, type=int)
+    ap.add_argument("--jax_platform", default="", type=str)
+    args = ap.parse_args(argv)
+
+    import jax
+    if args.jax_platform:
+        jax.config.update("jax_platforms", args.jax_platform)
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache"))
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dhaug_tpu.gan.wgan import camera_bank
+    from dhaug_tpu.models.generator import FkGeneratorNet, GeneratorConfig
+    from dhaug_tpu.ops.camera import project_to_2d, world_to_camera_batch
+    from dhaug_tpu.ops.fk import CANONICAL_BONE_LEN
+    from dhaug_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+    from dhaug_tpu.parallel.sharded import make_sharded_synthesizer
+
+    cfg = GeneratorConfig(dense_dim=args.Gen_DenseDim)
+    net = FkGeneratorNet(cfg)
+    key = jax.random.PRNGKey(args.seed)
+    params = net.init(key, jnp.zeros((2, 128)))["params"]
+    if args.ckpt:
+        from dhaug_tpu.utils.checkpoint import load_ckpt, restore_into
+        saved = load_ckpt(args.ckpt)
+        gen_state = saved.get("gen_state")
+        saved_params = gen_state.params if gen_state is not None else saved["gen"]
+        params = restore_into(params, saved_params)
+        print(f"==> loaded generator from {args.ckpt}")
+    elif not args.random_init:
+        print("WARNING: no --ckpt given; using a randomly initialized generator")
+
+    n_dev = len(jax.devices())
+    mesh = make_mesh(n_dev, model_axis=1)
+    B = args.batch - (args.batch % max(n_dev, 1)) or n_dev
+    synthesize = make_sharded_synthesizer(
+        lambda p, x: net.apply({"params": p}, x), cfg)
+
+    quats, trans, intrs = camera_bank(["S1", "S5", "S6", "S7", "S8"])
+
+    @jax.jit
+    def synth_pairs(params, bone_len, key):
+        k_pose, k_cam = jax.random.split(key)
+        pose16 = synthesize(params, bone_len, k_pose)
+        cam_idx = jax.random.randint(k_cam, (), 0, quats.shape[0])
+        cam3d = world_to_camera_batch(pose16, quats[cam_idx][None],
+                                      trans[cam_idx][None])
+        intr = jnp.broadcast_to(intrs[cam_idx][None], (pose16.shape[0], 9))
+        pose2d = project_to_2d(cam3d, intr)
+        return cam3d, pose2d, intr
+
+    bone_len = jnp.broadcast_to(jnp.asarray(CANONICAL_BONE_LEN), (B, 15))
+    out3d, out2d, outcam = [], [], []
+    t0 = time.perf_counter()
+    with mesh:
+        params_r = replicate(mesh, params)
+        bone_len = shard_batch(mesh, bone_len)
+        done = 0
+        i = 0
+        while done < args.n_poses:
+            k = jax.random.fold_in(jax.random.PRNGKey(args.seed + 1), i)
+            cam3d, pose2d, intr = synth_pairs(params_r, bone_len, k)
+            take = min(B, args.n_poses - done)
+            out3d.append(np.asarray(cam3d)[:take])
+            out2d.append(np.asarray(pose2d)[:take])
+            outcam.append(np.asarray(intr)[:take])
+            done += take
+            i += 1
+    dt = time.perf_counter() - t0
+    pose3d = np.concatenate(out3d)
+    pose2d = np.concatenate(out2d)
+    cams = np.concatenate(outcam)
+    np.savez_compressed(args.out, pose3d=pose3d, pose2d=pose2d, cam=cams)
+    print(f"wrote {args.out}: {pose3d.shape[0]} poses in {dt:.1f}s "
+          f"({pose3d.shape[0] / dt:.0f} poses/s over {n_dev} device(s))")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

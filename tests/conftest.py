@@ -14,3 +14,8 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent compile cache: the video-GAN critics program alone takes
+# ~2.5 min of XLA:CPU compile; caching makes suite reruns fast.
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)

@@ -1,0 +1,42 @@
+"""Parity tests for the fused Pallas FK kernel (interpret mode on CPU)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dhaug_tpu.ops.fk import CANONICAL_BONE_LEN, FKInputs, fk_world_pose
+from dhaug_tpu.ops.fk_pallas import fk_world_pose_pallas
+
+
+def _inputs(rng, B):
+    return (jnp.asarray(rng.uniform(-120, 120, (B, 33)), jnp.float32),
+            jnp.asarray(rng.uniform(0.1, 0.7, (B, 15)), jnp.float32),
+            jnp.asarray(rng.uniform(-180, 180, (B, 3)), jnp.float32),
+            jnp.asarray(rng.normal(size=(B, 3)), jnp.float32))
+
+
+def test_matches_xla_path():
+    rng = np.random.default_rng(0)
+    angles, bl, grot, root = _inputs(rng, 96)
+    ref = fk_world_pose(FKInputs(angles, bl, grot, root), 16)
+    out = fk_world_pose_pallas(angles, bl, grot, root, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_non_tile_multiple_batch():
+    rng = np.random.default_rng(1)
+    angles, bl, grot, root = _inputs(rng, 513)  # forces padding
+    ref = fk_world_pose(FKInputs(angles, bl, grot, root), 16)
+    out = fk_world_pose_pallas(angles, bl, grot, root, interpret=True)
+    assert out.shape == (513, 16, 3)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_canonical_pose():
+    B = 4
+    angles = jnp.zeros((B, 33))
+    bl = jnp.broadcast_to(jnp.asarray(CANONICAL_BONE_LEN), (B, 15))
+    out = fk_world_pose_pallas(angles, bl, jnp.zeros((B, 3)),
+                               jnp.zeros((B, 3)), interpret=True)
+    ref = fk_world_pose(FKInputs(angles, bl, jnp.zeros((B, 3)),
+                                 jnp.zeros((B, 3))), 16)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)

@@ -1,0 +1,126 @@
+"""Tests for utils: logger, schedulers, replay pool, profiling, viz."""
+import os
+
+import numpy as np
+
+from dhaug_tpu.gan.replay import SampleFromPool
+from dhaug_tpu.train.state import PlateauScheduler, step_lr
+from dhaug_tpu.utils.log import AverageMeter, Logger, MetricsWriter, Summary
+
+
+class TestLogger:
+    def test_named_rows_roundtrip(self, tmp_path):
+        path = str(tmp_path / "log.txt")
+        lg = Logger(path, args="argsdump")
+        lg.set_names(["epoch", "lr", "p1"])
+        lg.append([1, 1e-3, 55.2])
+        lg.append([2, 9e-4, 54.1])
+        lg.close()
+        lg2 = Logger(path, resume=True)
+        assert lg2.names == ["epoch", "lr", "p1"]
+        assert lg2.numbers["p1"] == ["55.2", "54.1"] or \
+            [float(x) for x in lg2.numbers["p1"]] == [55.2, 54.1]
+        with open(path) as f:
+            content = f.read()
+        assert "argsdump" in content
+        assert "55.2" in content
+
+    def test_metrics_writer_jsonl(self, tmp_path):
+        w = MetricsWriter(str(tmp_path))
+        w.add_scalar("loss", 1.5, 0)
+        w.add_scalar("loss", 1.2, 1)
+        w.flush()
+        import json
+        lines = [json.loads(l) for l in open(tmp_path / "metrics.jsonl")]
+        assert lines[0]["tag"] == "loss" and lines[1]["step"] == 1
+
+    def test_summary_state_roundtrip(self, tmp_path):
+        s = Summary(str(tmp_path))
+        s.epoch, s.train_iter_num = 7, 123
+        d = s.state_dict()
+        s2 = Summary(str(tmp_path))
+        s2.load_state_dict(d)
+        assert s2.epoch == 7 and s2.train_iter_num == 123
+
+    def test_average_meter(self):
+        m = AverageMeter()
+        m.update(2.0, n=2)
+        m.update(5.0, n=1)
+        np.testing.assert_allclose(m.avg, 3.0)
+
+
+class TestSchedulers:
+    def test_step_lr(self):
+        assert step_lr(1.0, 0, 10) == 1.0
+        np.testing.assert_allclose(step_lr(1.0, 25, 10), 0.01)
+
+    def test_plateau(self):
+        sch = PlateauScheduler(1.0, factor=0.5, patience=2)
+        for _ in range(3):
+            sch.step(10.0)  # no improvement streak
+        lr = sch.step(10.0)
+        assert lr == 0.5
+        # improvement resets
+        lr = sch.step(5.0)
+        assert lr == 0.5
+
+
+class TestReplayPool:
+    def test_passthrough_until_full(self):
+        pool = SampleFromPool(max_elements=8, seed=0)
+        x = np.arange(8, dtype=np.float32)[:, None]
+        out = pool(x)
+        np.testing.assert_allclose(out, x)
+
+    def test_swaps_after_full(self):
+        pool = SampleFromPool(max_elements=4, seed=0)
+        pool(np.zeros((4, 1), np.float32))
+        out = pool(np.ones((64, 1), np.float32))
+        # with p=0.5 over 64 samples, some must come from the (zero) pool
+        assert (out == 0).any()
+        assert (out == 1).any()
+
+
+class TestProfiling:
+    def test_step_timer(self):
+        import time
+
+        from dhaug_tpu.utils.profiling import StepTimer
+        t = StepTimer()
+        with t("phase_a"):
+            time.sleep(0.01)
+        with t("phase_a"):
+            time.sleep(0.01)
+        s = t.summary()
+        assert s["phase_a"]["count"] == 2
+        assert s["phase_a"]["mean_s"] >= 0.009
+        assert "phase_a" in t.report()
+
+    def test_timed(self):
+        import jax.numpy as jnp
+
+        from dhaug_tpu.utils.profiling import timed
+        out, dt = timed(lambda: jnp.ones(8).sum(), iters=2)
+        assert float(out) == 8.0 and dt >= 0
+
+
+class TestCmuPoseTarget:
+    def test_batches(self):
+        from dhaug_tpu.data.loaders import CmuPoseTarget
+        rng = np.random.default_rng(0)
+        ds = CmuPoseTarget(rng.normal(size=(20, 16, 3)).astype(np.float32),
+                           rng.normal(size=(20, 16, 2)).astype(np.float32),
+                           rng.normal(size=(5, 9)).astype(np.float32))
+        batches = list(ds.batches(np.random.default_rng(1), 8))
+        assert len(batches) == 2
+        p3, p2, cam = batches[0]
+        assert p3.shape == (8, 16, 3) and cam.shape == (8, 9)
+
+
+class TestViz:
+    def test_pose_grid_3d(self, tmp_path):
+        from dhaug_tpu.utils.viz import plot_pose_grid_3d
+        rng = np.random.default_rng(0)
+        p = plot_pose_grid_3d(rng.normal(size=(4, 16, 3)),
+                              str(tmp_path / "g.png"))
+        assert os.path.getsize(p) > 1000
