@@ -1,0 +1,113 @@
+"""End-to-end CLI smoke tests (subprocess, CPU, tiny synthetic data).
+
+These exercise the real entry points the way a user runs them; kept tiny so
+the whole file stays ~2-4 min with a warm compile cache.
+"""
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+COMMON = ["--synthetic_data", "true", "--jax_platform", "cpu",
+          "--batch_size", "64"]
+
+
+def run_cli(script, *args, timeout=560):
+    env = dict(os.environ)
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, script), *args],
+        capture_output=True, text=True, timeout=timeout, cwd=REPO, env=env)
+    return proc
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    return str(tmp_path_factory.mktemp("cli"))
+
+
+def test_baseline_then_evaluate(workdir):
+    proc = run_cli("run_baseline.py", "--posenet_name", "mlp",
+                   "--epochs", "1", "--stages", "1",
+                   "--checkpoint", os.path.join(workdir, "base"), *COMMON)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "Best H36M P1" in proc.stdout
+
+    # find the checkpoint and evaluate it
+    ckpts = []
+    for root, _, files in os.walk(os.path.join(workdir, "base")):
+        ckpts += [os.path.join(root, f) for f in files if f == "ckpt_best.ckpt"]
+    assert ckpts, "no checkpoint written"
+    proc2 = run_cli("run_evaluate.py", "--evaluate", ckpts[0],
+                    "--posenet_name", "mlp", "--stages", "1", *COMMON)
+    assert proc2.returncode == 0, proc2.stderr[-2000:]
+    assert "H36M" in proc2.stdout and "3DHP" in proc2.stdout
+
+    # evaluate must reproduce the training-time best H36M P1 exactly
+    import re
+    best = float(re.search(r"Best H36M P1: ([\d.]+)", proc.stdout).group(1))
+    evald = float(re.search(r"H36M\s+: P1 ([\d.]+)", proc2.stdout).group(1))
+    np.testing.assert_allclose(evald, best, atol=0.05)
+
+
+def test_fk_gan_traditional_mode(workdir):
+    proc = run_cli("run_Fk_GAN.py", "--posenet_name", "mlp",
+                   "--epochs", "1", "--additional_train_epoch", "0",
+                   "--stages", "1", "--generator_whole_number", "200",
+                   "--data_enhancement_method", "normal",
+                   "--checkpoint", os.path.join(workdir, "trad"), *COMMON)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "Epoch: 0" in proc.stdout
+
+
+def test_bench_json_contract(workdir):
+    """bench.py must print exactly one JSON line with the driver's schema.
+    (Run on CPU here; the driver runs it on the TPU.)"""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    src = open(os.path.join(REPO, "bench.py")).read()
+    # shrink the workload for CPU
+    src = src.replace("BATCH = 65536", "BATCH = 256")
+    src = src.replace("SCAN_STEPS = 8", "SCAN_STEPS = 2")
+    src = src.replace("DENSE = 1000", "DENSE = 64")
+    src = src.replace("ITERS = 5", "ITERS = 2")
+    src = src.replace("from __future__ import annotations",
+                      "from __future__ import annotations\n"
+                      "import jax; jax.config.update('jax_platforms', 'cpu')")
+    path = os.path.join(workdir, "bench_small.py")
+    with open(path, "w") as f:
+        f.write(src)
+    proc = subprocess.run([sys.executable, path], capture_output=True,
+                          text=True, timeout=560, cwd=REPO, env=env)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    line = proc.stdout.strip().splitlines()[-1]
+    data = json.loads(line)
+    assert set(data) == {"metric", "value", "unit", "vs_baseline"}
+    assert data["value"] > 0
+
+
+def test_graft_entry_contract():
+    """__graft_entry__ must expose entry() and dryrun_multichip(n)."""
+    code = (
+        "import os\n"
+        "os.environ['XLA_FLAGS'] = os.environ.get('XLA_FLAGS','') + "
+        "' --xla_force_host_platform_device_count=8'\n"
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "jax.config.update('jax_compilation_cache_dir', '/root/.jax_cache')\n"
+        "import __graft_entry__ as g\n"
+        "fn, args = g.entry()\n"
+        "out = jax.jit(fn)(*args)\n"
+        "assert out.shape == (256, 16, 3)\n"
+        "g.dryrun_multichip(8)\n"
+        "print('GRAFT OK')\n")
+    proc = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                          text=True, timeout=560, cwd=REPO)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "GRAFT OK" in proc.stdout

@@ -1,0 +1,152 @@
+"""Tests for the data layer: H36M dataset model, fetch, synthetic fixtures."""
+import os
+
+import numpy as np
+import pytest
+
+from dhaug_tpu.data import h36m
+from dhaug_tpu.data.loaders import (PoseDataset, create_2d_data, fetch,
+                                    np_camera_to_world, np_world_to_camera,
+                                    read_3d_data)
+from dhaug_tpu.data.synthetic import ensure_synthetic_dataset
+
+
+@pytest.fixture(scope="module")
+def data_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("data_root"))
+    ensure_synthetic_dataset(root, n_frames_per_action=40)
+    return root
+
+
+@pytest.fixture(scope="module")
+def dataset(data_root):
+    ds = h36m.Human36mDataset(os.path.join(data_root, "data", "data_3d_h36m.npz"))
+    return read_3d_data(ds)
+
+
+class TestH36MDataset:
+    def test_16_joint_reduction(self, dataset):
+        skel = dataset.skeleton()
+        assert skel.num_joints() == 16
+        # shoulders re-parented to thorax (index 8)
+        assert skel.parents()[10] == 8
+        assert skel.parents()[13] == 8
+        for subject in dataset.subjects():
+            for action in dataset[subject].keys():
+                assert dataset[subject][action]["positions"].shape[1] == 16
+
+    def test_camera_normalization(self):
+        cam = h36m.normalized_camera("S1", 0)
+        assert cam["intrinsic"].shape == (9,)
+        # focal length normalized by res_w/2
+        np.testing.assert_allclose(cam["intrinsic"][0],
+                                   1145.0494384765625 / 1000 * 2, rtol=1e-6)
+        # translation in metres
+        assert np.abs(cam["translation"]).max() < 10
+
+    def test_world_camera_consistency(self, dataset):
+        """positions_3d must equal world_to_camera(positions)."""
+        subject = next(iter(dataset.subjects()))
+        action = next(iter(dataset[subject].keys()))
+        anim = dataset[subject][action]
+        cam = anim["cameras"][0]
+        expect = np_world_to_camera(anim["positions"], cam["orientation"],
+                                    cam["translation"])
+        np.testing.assert_allclose(anim["positions_3d"][0], expect, atol=1e-5)
+        back = np_camera_to_world(anim["positions_3d"][0], cam["orientation"],
+                                  cam["translation"])
+        np.testing.assert_allclose(back, anim["positions"], atol=1e-4)
+
+    def test_define_actions(self, dataset):
+        assert len(dataset.define_actions()) == 15
+        assert dataset.define_actions("Walking") == ["Walking"]
+        with pytest.raises(ValueError):
+            dataset.define_actions("Flying")
+
+
+class TestFetch:
+    def _keypoints(self, data_root, dataset):
+        return create_2d_data(os.path.join(data_root, "data",
+                                           "data_2d_h36m_gt.npz"), dataset)
+
+    def test_basic_shapes(self, data_root, dataset):
+        kps = self._keypoints(data_root, dataset)
+        p3, p2, actions, cams = fetch(["S1"], dataset, kps,
+                                      with_extrinsics=True)
+        assert len(p3) == len(p2) == len(cams)  # per (action, camera)
+        assert p3[0].shape[1:] == (16, 3)
+        assert p2[0].shape[1:] == (16, 2)
+        assert cams[0].shape[1] == 16  # intrinsic 9 + quat 4 + trans 3
+
+    def test_action_filter(self, data_root, dataset):
+        kps = self._keypoints(data_root, dataset)
+        all_p3, *_ = fetch(["S1"], dataset, kps)
+        one_p3, _, actions, _ = fetch(["S1"], dataset, kps,
+                                      action_filter=["Walking"])
+        assert len(one_p3) < len(all_p3)
+        assert all(a[0] == "Walking" for a in actions)
+
+    def test_stride_downsampling(self, data_root, dataset):
+        kps = self._keypoints(data_root, dataset)
+        p3_full, *_ = fetch(["S1"], dataset, kps, stride=1)
+        p3_ds, _, _, cams = fetch(["S1"], dataset, kps, stride=4, train=True)
+        assert p3_ds[0].shape[0] == -(-p3_full[0].shape[0] // 4)
+
+    def test_min_motion_filter(self, data_root, dataset):
+        kps = self._keypoints(data_root, dataset)
+        p3, p2, _, _ = fetch(["S1"], dataset, kps, min_motion_mm=1e9)
+        # an absurd threshold keeps only the first frame per sequence
+        assert all(s.shape[0] == 1 for s in p3)
+
+    def test_per_sequence_cam_mode(self, data_root, dataset):
+        kps = self._keypoints(data_root, dataset)
+        _, _, _, cams = fetch(["S1"], dataset, kps, per_frame_cam=False,
+                              with_extrinsics=True)
+        assert cams[0].ndim == 1 and cams[0].shape[0] == 16
+
+
+class TestSynthetic:
+    def test_fixture_formats(self, data_root):
+        d3 = np.load(os.path.join(data_root, "data", "data_3d_h36m.npz"),
+                     allow_pickle=True)["positions_3d"].item()
+        assert set(d3) == {"S1", "S5", "S6", "S7", "S8", "S9", "S11"}
+        first = next(iter(d3["S1"].values()))
+        assert first.shape[1:] == (32, 3)
+
+        dhp = np.load(os.path.join(data_root, "data_extra", "test_set",
+                                   "test_3dhp.npz"))
+        assert dhp["pose3d"].shape == (2929, 16, 3)
+        # root-centred
+        np.testing.assert_allclose(dhp["pose3d"][:, 0], 0.0, atol=1e-6)
+
+        tmpl = np.load(os.path.join(data_root, "data_extra",
+                                    "bone_length_npy",
+                                    "hm36s15678_bl_templates.npy"))
+        assert tmpl.shape[1] == 15
+        assert (tmpl > 0).all()
+
+    def test_2d_3d_consistency(self, data_root, dataset):
+        """The synthetic GT 2D must be the projection of the 3D."""
+        kps = create_2d_data(os.path.join(data_root, "data",
+                                          "data_2d_h36m_gt.npz"), dataset)
+        subject = "S1"
+        action = next(iter(kps[subject].keys()))
+        import jax.numpy as jnp
+
+        from dhaug_tpu.ops.camera import project_to_2d
+        pose_cam = dataset[subject][action]["positions_3d"][0]
+        intr = dataset.cameras()[subject][0]["intrinsic"]
+        proj = np.asarray(project_to_2d(
+            jnp.asarray(pose_cam),
+            jnp.broadcast_to(jnp.asarray(intr), (pose_cam.shape[0], 9))))
+        np.testing.assert_allclose(proj, kps[subject][action][0], atol=2e-3)
+
+
+class TestPw3d:
+    def test_convert_tables(self):
+        from dhaug_tpu.data.pw3d import (PW3D_TO_16POINTS_TABLE_FROM_COCO,
+                                         convert_to_16)
+        src = np.arange(14 * 3, dtype=np.float32).reshape(1, 14, 3)
+        out = convert_to_16(src, PW3D_TO_16POINTS_TABLE_FROM_COCO)
+        assert out.shape == (1, 16, 3)
+        np.testing.assert_allclose(out[0, 9], src[0, 0])  # COCO 0 -> ours 9
