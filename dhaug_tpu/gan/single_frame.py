@@ -152,15 +152,19 @@ def run_gan_epoch(gan: GanBundle, gt2d3d: PoseDataset, target_2d: PoseTarget,
                 writer.add_scalar(f"train_G_iter_PoseFk/{tag}",
                                   float(metrics[tag]), summary.train_iter_num)
 
-        buf3d.append(np.asarray(fake_cam3d))
-        buf2d.append(np.asarray(fake_2d))
-        bufcam.append(np.asarray(intr))
+        # Buffers stay device-resident; one host transfer at epoch end (the
+        # reference syncs .cpu().numpy() every batch — its biggest
+        # self-inflicted stall, model_fk_gan_train.py:487-489).
+        buf3d.append(fake_cam3d)
+        buf2d.append(fake_2d)
+        bufcam.append(intr)
         summary.train_iter_num += 1
 
     gan = gan._replace(gen_state=gen_state, d3d_state=d3d_state,
                        d2d_state=d2d_state)
     if not buf3d:
         return gan, None
-    fake_ds = PoseDataset(np.concatenate(buf3d), np.concatenate(buf2d),
-                          np.concatenate(bufcam))
+    fake_ds = PoseDataset(np.asarray(jnp.concatenate(buf3d)),
+                          np.asarray(jnp.concatenate(buf2d)),
+                          np.asarray(jnp.concatenate(bufcam)))
     return gan, fake_ds

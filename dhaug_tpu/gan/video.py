@@ -319,9 +319,10 @@ def run_video_gan_epoch(gan: VideoGanBundle, gan_loader, batch_size: int,
                     writer.add_scalar(f"train_G_iter_PoseFk/{tag}", float(v),
                                       summary.train_iter_num)
 
-        buf3d.append(np.asarray(fake_cam3d))
-        buf2d.append(np.asarray(fake_2d))
-        bufcam.append(np.asarray(intr))
+        # device-resident buffering; single host transfer at epoch end
+        buf3d.append(fake_cam3d)
+        buf2d.append(fake_2d)
+        bufcam.append(intr)
         summary.train_iter_num += 1
 
     gan = gan._replace(gen_state=gen_state, d3d_state=d3d_state,
@@ -329,5 +330,6 @@ def run_video_gan_epoch(gan: VideoGanBundle, gan_loader, batch_size: int,
                        md2d_state=md2d_state)
     if not buf3d:
         return gan, None
-    return gan, (np.concatenate(buf3d), np.concatenate(buf2d),
-                 np.concatenate(bufcam))
+    return gan, (np.asarray(jnp.concatenate(buf3d)),
+                 np.asarray(jnp.concatenate(buf2d)),
+                 np.asarray(jnp.concatenate(bufcam)))

@@ -68,6 +68,8 @@ class GeneratorConfig(NamedTuple):
     use_pre_angle: bool = True     # --GAN_whether_use_preAngle
     use_global_rot: bool = True    # --whether_use_RT
     video_frames: int = 1          # >1 selects Video_Fk_Generator behaviour
+    bf16_trunk: bool = False       # compute trunk matmuls in bfloat16
+                                   # (fp32 params; FK/geometry stay fp32)
 
 
 class FkGeneratorNet(nn.Module):
@@ -81,13 +83,14 @@ class FkGeneratorNet(nn.Module):
 
     @nn.compact
     def __call__(self, noise: jnp.ndarray) -> jnp.ndarray:
-        x = DensePrelude(self.cfg.dense_dim)(noise)
-        x = DenseResBlock(self.cfg.dense_dim)(x)
-        x = DenseResBlock(self.cfg.dense_dim)(x)
-        x = DenseResBlock(self.cfg.dense_dim)(x)
+        dt = jnp.bfloat16 if self.cfg.bf16_trunk else None
+        x = DensePrelude(self.cfg.dense_dim, dtype=dt)(noise)
+        x = DenseResBlock(self.cfg.dense_dim, dtype=dt)(x)
+        x = DenseResBlock(self.cfg.dense_dim, dtype=dt)(x)
+        x = DenseResBlock(self.cfg.dense_dim, dtype=dt)(x)
         out = nn.Dense(self.cfg.video_frames * self.cfg.output_dim,
-                       kernel_init=kaiming)(x)
-        return out
+                       kernel_init=kaiming, dtype=dt)(x)
+        return out.astype(jnp.float32)
 
 
 def head_to_angles(head: jnp.ndarray, cfg: GeneratorConfig):
