@@ -29,7 +29,6 @@ from __future__ import annotations
 import json
 import os
 import statistics
-import sys
 import time
 
 # Same-machine torch-CPU reference measurement (scripts/bench_reference_torch.py).

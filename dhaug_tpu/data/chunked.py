@@ -18,7 +18,7 @@ dhaug_tpu.ops.augment.flip_pose (one gather) rather than per-chunk.
 """
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 

@@ -17,8 +17,7 @@ import os
 import numpy as np
 
 from dhaug_tpu.data import h36m
-from dhaug_tpu.data.loaders import (np_camera_to_world, np_normalize_screen,
-                                    np_world_to_camera)
+from dhaug_tpu.data.loaders import np_world_to_camera
 
 # Modest angle ranges keep the synthetic crowd within each camera's view.
 _ANGLE_STD = 18.0

@@ -26,7 +26,7 @@ bug (SURVEY.md §2.2) that scrambles frames; here the reshape is the correct
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -25,7 +25,6 @@ Faithful quirks:
 """
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax

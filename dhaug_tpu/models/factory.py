@@ -11,9 +11,7 @@ from __future__ import annotations
 
 from typing import Tuple
 
-import jax
 import jax.numpy as jnp
-import numpy as np
 
 from dhaug_tpu.models.posenets import (LinearModel, PoseFormer, SemGCN,
                                        TemporalPoseNet,

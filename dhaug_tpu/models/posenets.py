@@ -19,7 +19,7 @@ dropout draws from the 'dropout' rng.  Torch BN momentum 0.1 == flax 0.9.
 """
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp

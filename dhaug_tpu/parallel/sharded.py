@@ -17,11 +17,9 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh
 
 from dhaug_tpu.gan.wgan import GanHyper, make_single_frame_steps
 from dhaug_tpu.models.generator import GeneratorConfig, sample_scaler8, synthesize_poses
-from dhaug_tpu.parallel.mesh import batch_sharding, replicate, shard_batch
 
 
 class ShardedGanPosenet(NamedTuple):

@@ -9,7 +9,7 @@ transformed batch (identical update dynamics, one compilation).
 """
 from __future__ import annotations
 
-from typing import Callable, Dict, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -83,7 +83,8 @@ def train_epoch(step, state: NetState, batches, key, *,
             if playback and video:
                 state, _ = step(state, time_reverse(flip_pose(inputs_2d)),
                                 flip_pose(targets), k4)
-    mean_loss = float(np.mean([float(l) for l in losses])) if losses else float("nan")
+    # one host fetch for the whole epoch's losses
+    mean_loss = float(jnp.mean(jnp.stack(losses))) if losses else float("nan")
     return state, mean_loss
 
 

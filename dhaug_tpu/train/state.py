@@ -8,7 +8,7 @@ jitted steps, and learning-rate schedules mutate only the
 """
 from __future__ import annotations
 
-from typing import Any, Callable
+from typing import Any
 
 import flax.struct
 import jax

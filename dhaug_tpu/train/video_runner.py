@@ -14,7 +14,7 @@ import numpy as np
 
 from dhaug_tpu.data.chunked import (ChunkWindows, UnchunkedSequences,
                                     split_mpi3d_sequences)
-from dhaug_tpu.train.data_prep import prepare_data, train_subject_list
+from dhaug_tpu.train.data_prep import prepare_data
 
 
 def _receptive_field(args) -> int:

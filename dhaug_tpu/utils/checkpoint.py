@@ -13,7 +13,6 @@ import os
 import pickle
 from typing import Any
 
-import flax.serialization
 import jax
 import numpy as np
 

@@ -30,12 +30,10 @@ def main(argv=None):
     from dhaug_tpu.train.data_prep import prepare_data
     from dhaug_tpu.train.posenet import (make_posenet_eval_step,
                                          make_posenet_train_step, train_epoch)
-    from dhaug_tpu.train.runners import (evaluate_both, eval_batches,
-                                         make_logger, make_run_dir,
-                                         train_batches)
-    from dhaug_tpu.train.state import (adam_posenet, current_learning_rate,
-                                       make_state, set_learning_rate,
-                                       step_exp_lr)
+    from dhaug_tpu.train.runners import (evaluate_both, make_logger,
+                                         make_run_dir, train_batches)
+    from dhaug_tpu.train.state import (adam_posenet, make_state,
+                                       set_learning_rate, step_exp_lr)
     from dhaug_tpu.utils.checkpoint import save_ckpt
 
     np_rng = np.random.default_rng(args.random_seed)

@@ -92,6 +92,28 @@ def test_bench_json_contract(workdir):
     assert data["value"] > 0
 
 
+def test_fk_gan_video_mode(workdir):
+    """Video-mode CLI end to end: GAN warmup epoch + one trained epoch with
+    the multi-frame posenet and whole-sequence eval."""
+    proc = run_cli("run_Fk_GAN.py", "--posenet_name", "mulit_farme_videopose",
+                   "--single_or_multi_train_mode", "multi",
+                   "--architecture", "3,3",
+                   "--epochs", "2", "--warmup", "0",
+                   "--single_dis_warmup_epoch", "1",
+                   "--additional_train_epoch", "0",
+                   "--Gen_DenseDim", "96", "--Dis_DenseDim_3D", "96",
+                   "--Dis_DenseDim_2D", "96", "--video_Dis_DenseDim_3D", "96",
+                   "--video_Dis_DenseDim_2D", "96",
+                   "--data_enhancement_method", "GAN",
+                   "--checkpoint", os.path.join(workdir, "video"), *COMMON)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "receptive field: 9" in proc.stdout
+    # the trained epoch must have produced finite metrics
+    import re
+    m = re.findall(r"H36M P1 ([\d.]+)", proc.stdout)
+    assert m and float(m[-1]) > 0
+
+
 def test_graft_entry_contract():
     """__graft_entry__ must expose entry() and dryrun_multichip(n)."""
     code = (
