@@ -117,10 +117,25 @@ def build_gan(args, train_subjects, key) -> GanBundle:
         steps=steps, gen_cfg=gen_cfg, hyper=hyper)
 
 
+def dump_angle_heatmap(gan: GanBundle, key, path: str, batch: int = 512):
+    """Distribution heatmap of the generator's 37 DOF/rot angles — the
+    reference dumps one every 500 generator calls (Fk_generator.py:172-175)."""
+    import jax
+
+    from dhaug_tpu.models.generator import FkGeneratorNet, head_to_angles
+    from dhaug_tpu.utils.viz import plot_dof_angle_heatmap
+    net = FkGeneratorNet(gan.gen_cfg)
+    noise = jax.random.normal(key, (batch, 128))
+    head = net.apply({"params": gan.gen_state.params}, noise)
+    angles37, _ = head_to_angles(head.reshape(batch, -1, 35), gan.gen_cfg)
+    plot_dof_angle_heatmap(np.asarray(angles37).reshape(-1, 37), path)
+
+
 def run_gan_epoch(gan: GanBundle, gt2d3d: PoseDataset, target_2d: PoseTarget,
                   target_3d: PoseTarget, batch_size: int,
                   np_rng: np.random.Generator, key, summary,
-                  writer=None) -> tuple[GanBundle, Optional[PoseDataset]]:
+                  writer=None, record_dir: Optional[str] = None
+                  ) -> tuple[GanBundle, Optional[PoseDataset]]:
     """One GAN pass over the epoch's batches.  Returns the updated states and
     the fake (cam-3D, 2D, intrinsics) dataset for posenet co-training."""
     steps = gan.steps
@@ -151,6 +166,13 @@ def run_gan_epoch(gan: GanBundle, gt2d3d: PoseDataset, target_2d: PoseTarget,
             for tag in ("3d_wasserstein", "2d_wasserstein", "3d_d_cost", "2d_d_cost"):
                 writer.add_scalar(f"train_G_iter_PoseFk/{tag}",
                                   float(metrics[tag]), summary.train_iter_num)
+
+        if record_dir is not None and summary.train_iter_num % 500 == 1:
+            import os
+            dump_angle_heatmap(
+                gan._replace(gen_state=gen_state), k_g,
+                os.path.join(record_dir,
+                             f"34DOF_3GlobalRot_heatmap_{summary.train_iter_num}.jpg"))
 
         # Buffers stay device-resident; one host transfer at epoch end (the
         # reference syncs .cpu().numpy() every batch — its biggest

@@ -207,6 +207,15 @@ def video_mode_main(args, train_subjects: List[str]):
                                              k_epoch, summary, use_motion,
                                              summary.writer)
 
+        if args.record_all_picture and fakes is not None:
+            # per-epoch real/fake clip dumps (video_GAN_fun.py:590-600)
+            from dhaug_tpu.utils.viz import plot_video_strip
+            f3d, f2d, _ = fakes
+            plot_video_strip(f3d[0], f2d[0],
+                             os.path.join(run_dir, "tmp",
+                                          f"fake_video_ep{summary.epoch}.jpg"),
+                             title=f"fake clip, epoch {summary.epoch}")
+
         train_now = (summary.epoch > (args.warmup + args.single_dis_warmup_epoch)
                      and args.data_enhancement_method == "GAN") or \
             args.data_enhancement_method == "normal"

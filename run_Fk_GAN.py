@@ -126,9 +126,11 @@ def single_frame_mode_main(args, bundle, train_subjects):
 
         if args.data_enhancement_method == "GAN":
             key, k_epoch = jax.random.split(key)
+            record_dir = f"{run_dir}/tmp" if args.record_all_picture else None
             gan, fake_ds = run_gan_epoch(gan, gt2d3d, target_2d, target_3d,
                                          args.batch_size, np_rng, k_epoch,
-                                         summary, summary.writer)
+                                         summary, summary.writer,
+                                         record_dir=record_dir)
         elif args.data_enhancement_method == "normal":
             key, k_trad = jax.random.split(key)
             cfg = TraditionalConfig(
@@ -142,6 +144,16 @@ def single_frame_mode_main(args, bundle, train_subjects):
             f3d, f2d = project_through_cameras(pose16, cam_q, cam_t, cam_i)
             fake_ds = PoseDataset(np.asarray(f3d), np.asarray(f2d),
                                   np.zeros((f3d.shape[0], 1), np.float32))
+
+        if args.record_all_picture and fake_ds is not None:
+            from dhaug_tpu.utils.viz import plot_pose_grid_2d, plot_pose_grid_3d
+            import os.path as osp
+            plot_pose_grid_3d(fake_ds.poses_3d[:16],
+                              osp.join(run_dir, "tmp", f"fake3d_ep{summary.epoch}.jpg"),
+                              title=f"fake 3D, epoch {summary.epoch}")
+            plot_pose_grid_2d(fake_ds.poses_2d[:16],
+                              osp.join(run_dir, "tmp", f"fake2d_ep{summary.epoch}.jpg"),
+                              title=f"fake 2D, epoch {summary.epoch}")
 
         train_now = (summary.epoch > args.warmup and
                      args.data_enhancement_method == "GAN") or \

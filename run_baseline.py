@@ -101,6 +101,12 @@ def main(argv=None):
         summary.epoch += 1
 
     logger.close()
+    # final metric-curve plot (the reference dumps log.eps, run_baseline.py:70-71)
+    try:
+        from dhaug_tpu.utils.viz import plot_metric_curves
+        plot_metric_curves(f"{run_dir}/log.txt", f"{run_dir}/log.png")
+    except Exception as exc:  # plotting must never fail a training run
+        print(f"(metric plot skipped: {exc})")
     print(f"Best H36M P1: {best_h36m:.2f} mm | best 3DHP P1: {best_dhp:.2f} mm")
     return best_h36m
 
