@@ -42,11 +42,11 @@ def _reskin_chunk(poses_3d, cams, templates, idx):
 def reskin_dataset(ds: PoseDataset, templates: np.ndarray,
                    rng: np.random.Generator) -> PoseDataset:
     """Random bone-length template re-skin of every frame + re-projection.
-    Returns a new PoseDataset (cams unchanged)."""
+    Returns a new PoseDataset (cams unchanged).  Chunks stay on device; the
+    host sees one transfer per array at the end."""
     n = len(ds)
     templates_j = jnp.asarray(templates)
-    out3d = np.empty_like(ds.poses_3d)
-    out2d = np.empty_like(ds.poses_2d)
+    chunks3d, chunks2d = [], []
     for s in range(0, n, _RESKIN_CHUNK):
         e = min(s + _RESKIN_CHUNK, n)
         # fixed chunk shape: pad the tail by repetition
@@ -58,8 +58,12 @@ def reskin_dataset(ds: PoseDataset, templates: np.ndarray,
         idx = rng.integers(0, templates.shape[0], size=_RESKIN_CHUNK)
         new3d, new2d = _reskin_chunk(jnp.asarray(sl3), jnp.asarray(slc),
                                      templates_j, jnp.asarray(idx))
-        out3d[s:e] = np.asarray(new3d)[: e - s]
-        out2d[s:e] = np.asarray(new2d)[: e - s]
+        chunks3d.append(new3d[: e - s])
+        chunks2d.append(new2d[: e - s])
+    out3d = np.asarray(jnp.concatenate(chunks3d)) if len(chunks3d) > 1 \
+        else np.asarray(chunks3d[0])
+    out2d = np.asarray(jnp.concatenate(chunks2d)) if len(chunks2d) > 1 \
+        else np.asarray(chunks2d[0])
     return PoseDataset(out3d, out2d, ds.cams)
 
 

@@ -38,6 +38,51 @@ def load_ckpt(path: str) -> dict:
         return pickle.load(f)
 
 
+def save_ckpt_orbax(state: dict, ckpt_dir: str, suffix: str = "orbax") -> str:
+    """Orbax-backed checkpoint for deployment pipelines that standardize on
+    orbax layouts.  Array pytrees go through orbax; non-array leaves (RNG
+    bit-generator dicts, counters, strings) ride a pickled sidecar — orbax
+    only stores arrays/scalars.  ``load_ckpt_orbax`` reassembles the dict."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(os.path.join(ckpt_dir, f"ckpt_{suffix}"))
+    arrays = {}
+    others = {}
+    flat, treedef = jax.tree_util.tree_flatten_with_path(state)
+    for keypath, leaf in flat:
+        key = jax.tree_util.keystr(keypath)
+        numeric_array = (isinstance(leaf, (jax.Array, np.ndarray))
+                         and np.issubdtype(np.asarray(leaf).dtype, np.number))
+        numeric_scalar = isinstance(leaf, (bool, int, float, np.number))
+        if numeric_array or numeric_scalar:
+            arrays[key] = np.asarray(leaf)
+        else:
+            others[key] = leaf
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(os.path.join(path, "arrays"), arrays, force=True)
+    with open(os.path.join(path, "aux.pkl"), "wb") as f:
+        pickle.dump({"others": others, "treedef": treedef}, f)
+    return path
+
+
+def load_ckpt_orbax(path: str) -> dict:
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.PyTreeCheckpointer()
+    arrays = ckptr.restore(os.path.join(os.path.abspath(path), "arrays"))
+    with open(os.path.join(path, "aux.pkl"), "rb") as f:
+        aux = pickle.load(f)
+    leaves_by_key = {**arrays, **aux["others"]}
+    treedef = aux["treedef"]
+    # rebuild in treedef order
+    structure = jax.tree_util.tree_unflatten(
+        treedef, [None] * treedef.num_leaves)
+    flat, _ = jax.tree_util.tree_flatten_with_path(
+        structure, is_leaf=lambda x: x is None)
+    ordered = [leaves_by_key[jax.tree_util.keystr(kp)] for kp, _ in flat]
+    return jax.tree_util.tree_unflatten(treedef, ordered)
+
+
 def restore_into(template: Any, saved: Any) -> Any:
     """Graft saved arrays onto a freshly-initialized pytree ``template``
     (keeps aux static structure, validates shapes)."""

@@ -106,6 +106,32 @@ def main():
     print(f"generator_step (B=1024):        {dt * 1000:8.2f} ms "
           f"-> {1 / dt:6.1f} steps/s")
 
+    # pipelined GAN epoch rate: dispatch N iterations back-to-back (the real
+    # epoch loop pattern — 5 critic iters per generator iter), sync once.
+    N = 50
+    keys = [jax.random.PRNGKey(100 + i) for i in range(N)]
+    d3s, d2s, gs = d3d, d2d, gan.gen_state
+
+    def run_epoch_like():
+        nonlocal d3s, d2s, gs
+        last = None
+        for i in range(N):
+            out = gan.steps.critics_step(d3s, d2s, gs.params, real, cam16,
+                                         tgt2d, keys[i])
+            d3s, d2s = out[0], out[1]
+            if i % 5 == 4:
+                gs, gm = gan.steps.generator_step(gs, d3s.params, d2s.params,
+                                                  out[3], out[2], keys[i])
+                last = gm["g_cost"]
+        return float(last)
+
+    run_epoch_like()  # warmup
+    t0 = time.perf_counter()
+    run_epoch_like()
+    dt = time.perf_counter() - t0
+    print(f"pipelined GAN iterations:       {dt / N * 1000:8.2f} ms/iter "
+          f"-> {N / dt:6.1f} iters/s ({N / dt * 1024:,.0f} poses judged/s)")
+
 
 if __name__ == "__main__":
     main()

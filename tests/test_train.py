@@ -122,6 +122,21 @@ class TestCheckpoint:
         for a, b in zip(jax.tree.leaves(restored), jax.tree.leaves(state.params)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b))
 
+    def test_orbax_roundtrip(self, tmp_path):
+        import jax.numpy as jnp
+
+        from dhaug_tpu.utils.checkpoint import (load_ckpt_orbax,
+                                                save_ckpt_orbax)
+        state = {"epoch": 3, "params": {"w": jnp.ones((4, 4))},
+                 "np_rng": {"bit_generator": "PCG64",
+                            "state": {"state": 12345}},
+                 "note": "hello"}
+        path = save_ckpt_orbax(state, str(tmp_path))
+        back = load_ckpt_orbax(path)
+        assert back["epoch"] == 3 and back["note"] == "hello"
+        np.testing.assert_allclose(np.asarray(back["params"]["w"]), 1.0)
+        assert back["np_rng"]["state"]["state"] == 12345
+
     def test_restore_shape_mismatch_raises(self, tmp_path):
         import pytest
         from dhaug_tpu.utils.checkpoint import restore_into
