@@ -128,9 +128,9 @@ def build_video_gan(args, train_subjects, video_frames: int, key) -> VideoGanBun
         B = real_3d_clip.shape[0]
         keys = jax.random.split(key, 16)
 
-        # bone lengths from the clip's frames (one per frame, reshaped (B*F))
-        bone_len = bone_lengths_fk(real_3d_clip.reshape((B, F, 16, 3)))
-        bone_len_frames = bone_len.reshape((B * F, 15))
+        # harvest bone lengths from the clip's first frame (bones are
+        # constant within a real clip; the generator takes one set per clip)
+        bone_len = bone_lengths_fk(real_3d_clip)  # (B, F, 15)
 
         # real world clips, root-centred per frame (video_GAN_fun.py:178-181)
         real_world = camera_to_world_batch(

@@ -121,7 +121,11 @@ def scale_bone_lengths(bone_len: jnp.ndarray, scaler8: jnp.ndarray) -> jnp.ndarr
     """Apply the 8-group mirrored bone scalers: new = len * (1 + group ratio);
     thorax untouched (Fk_generator.py:216-230).  bone_len (..., 15) FK order;
     scaler8 (..., 8) in [-0.2, 0.2]."""
-    ratio15 = jnp.einsum("gb,...g->...b", jnp.asarray(_SCALER_GROUPS), scaler8)
+    import jax
+    # geometry-path contraction: pin fp32 (TPU default bf16 accumulation
+    # would put ~0.5 mm of noise on the synthesized bone lengths)
+    ratio15 = jnp.einsum("gb,...g->...b", jnp.asarray(_SCALER_GROUPS), scaler8,
+                         precision=jax.lax.Precision.HIGHEST)
     return bone_len * (1.0 + ratio15)
 
 

@@ -57,34 +57,8 @@ def p_mpjpe_per_sample(predicted: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarr
 
 def p_mpjpe(predicted: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
     """MPJPE after per-sample rigid alignment (scale, rotation, translation),
-    "Protocol #2".  predicted/target: (N, J, 3).  Batched SVD on device.
-    """
-    muX = jnp.mean(target, axis=1, keepdims=True)
-    muY = jnp.mean(predicted, axis=1, keepdims=True)
-    X0 = target - muX
-    Y0 = predicted - muY
-    normX = jnp.sqrt(jnp.sum(X0 ** 2, axis=(1, 2), keepdims=True))
-    normY = jnp.sqrt(jnp.sum(Y0 ** 2, axis=(1, 2), keepdims=True))
-    X0 = X0 / normX
-    Y0 = Y0 / normY
-
-    H = jnp.matmul(jnp.swapaxes(X0, 1, 2), Y0)
-    U, s, Vt = jnp.linalg.svd(H)
-    V = jnp.swapaxes(Vt, 1, 2)
-    R = jnp.matmul(V, jnp.swapaxes(U, 1, 2))
-
-    # Fix improper rotations (reflections): flip the sign of the last singular
-    # vector wherever det(R) < 0.
-    sign_detR = jnp.sign(jnp.linalg.det(R))[:, None]
-    V = V.at[:, :, -1].multiply(sign_detR)
-    s = s.at[:, -1].multiply(sign_detR[:, 0])
-    R = jnp.matmul(V, jnp.swapaxes(U, 1, 2))
-
-    tr = jnp.sum(s, axis=1, keepdims=True)[:, :, None]
-    a = tr * normX / normY                       # scale
-    t = muX - a * jnp.matmul(muY, R)             # translation
-    predicted_aligned = a * jnp.matmul(predicted, R) + t
-    return jnp.mean(jnp.linalg.norm(predicted_aligned - target, axis=-1))
+    "Protocol #2".  predicted/target: (N, J, 3).  Batched SVD on device."""
+    return jnp.mean(p_mpjpe_per_sample(predicted, target))
 
 
 def n_mpjpe(predicted: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:

@@ -32,10 +32,9 @@ def video_data_preparation(args):
                                 bundle.poses_train, bundle.poses_train_2d,
                                 pad=pad, full_3d_window=False, shuffle=True,
                                 random_seed=args.random_seed)
-    gan_loader = ChunkWindows(args.batch_size, bundle.cams_train,
-                              bundle.poses_train, bundle.poses_train_2d,
-                              pad=pad, full_3d_window=True, shuffle=True,
-                              random_seed=args.random_seed + 1)
+    # the GAN clip loader is rebuilt every epoch by video_reskin_update
+    # (fresh bone-length template per sequence), so none is built here
+    gan_loader = None
 
     # H36M eval: whole sequences for the dilated net, centre-frame chunks for
     # everything else (video_mode_operate.py:470-481).

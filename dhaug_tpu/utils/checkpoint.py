@@ -18,7 +18,11 @@ import numpy as np
 
 
 def _to_host(tree: Any) -> Any:
-    return jax.tree.map(lambda x: np.asarray(x), tree)
+    def leaf(x):
+        if isinstance(x, (jax.Array, np.ndarray)):
+            return np.asarray(x)
+        return x  # strings / ints / rng-state dict leaves stay as-is
+    return jax.tree.map(leaf, tree)
 
 
 def save_ckpt(state: dict, ckpt_dir: str, suffix: str | None = None) -> str:

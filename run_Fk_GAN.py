@@ -119,7 +119,10 @@ def single_frame_mode_main(args, bundle, train_subjects):
 
     fake_ds = None
     for now_epoch in range(start_epoch, args.epochs + args.additional_train_epoch):
-        if args.data_enhancement_method in ("GAN", "normal"):
+        if args.data_enhancement_method == "GAN":
+            # per-epoch bone-length re-skin of the real data feeding the GAN.
+            # (The reference also runs this in 'normal' mode where nothing
+            # consumes the result, run_Fk_GAN.py:113-114 — skipped here.)
             gt2d3d = reskin_dataset(bundle.train_gt2d3d, templates, np_rng)
             target_2d = PoseTarget(gt2d3d.poses_2d)
             target_3d = PoseTarget(gt2d3d.poses_3d)

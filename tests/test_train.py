@@ -57,6 +57,40 @@ class TestPosenetStep:
         assert np.isfinite(loss)
 
 
+class TestAllPosenetsTrain:
+    def test_one_train_step_every_posenet(self):
+        """Every zoo member must accept a train step (BN state, dropout rng,
+        gradient flow) with its native input shape."""
+        import pytest as _pytest
+
+        from dhaug_tpu.data.skeleton import Skeleton
+        from dhaug_tpu.models.factory import (example_input, init_posenet,
+                                              make_posenet)
+        skel = Skeleton(parents=[-1, 0, 1, 2, 0, 4, 5, 0, 7, 8, 8, 10, 11, 8, 13, 14],
+                        joints_left=[4, 5, 6, 10, 11, 12],
+                        joints_right=[1, 2, 3, 13, 14, 15])
+        for name in ("mlp", "gcn", "videopose", "mulit_farme_videopose",
+                     "mulit_farme_poseformer"):
+            model = make_posenet(name, stages=1, architecture="3,3",
+                                 skeleton=skel)
+            ex = example_input(name, batch=4, architecture="3,3")
+            params, bstats = init_posenet(model, KEY, ex)
+            tx = adam_posenet(1e-3)
+            state = make_state(tx, params, bstats)
+            crit = "mse" if name in ("mlp", "gcn", "videopose") else "mpjpe"
+            step = make_posenet_train_step(model, tx, crit)
+            x = jax.random.normal(KEY, ex.shape)
+            if name in ("mlp", "gcn", "videopose"):
+                y = jax.random.normal(KEY, (4, 16, 3)) * 0.3
+            else:
+                y = jax.random.normal(KEY, (4, 1, 16, 3)) * 0.3
+            new_state, loss = step(state, x, root_relative(y), KEY)
+            assert np.isfinite(float(loss)), name
+            before = jax.tree.leaves(state.params)[0]
+            after = jax.tree.leaves(new_state.params)[0]
+            assert not np.allclose(np.asarray(before), np.asarray(after)), name
+
+
 class TestEvaluate:
     def test_perfect_predictor_scores_zero(self):
         model, tx, state = _mlp_setup()
