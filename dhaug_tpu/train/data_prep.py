@@ -29,6 +29,7 @@ class DataBundle:
     target_3d: PoseTarget
     h36m_test: PoseDataset
     mpi3d: PoseBuffer
+    actions_valid: list
     subjects_train: List[str]
     subjects_test: List[str]
     action_filter: Optional[List[str]]
@@ -109,6 +110,7 @@ def prepare_data(args, per_frame_cam: bool = True) -> DataBundle:
         target_3d=PoseTarget(train_ds.poses_3d.copy()),
         h36m_test=valid_ds,
         mpi3d=mpi3d,
+        actions_valid=[a for seq in actions_valid for a in seq],
         subjects_train=subjects_train,
         subjects_test=subjects_test,
         action_filter=action_filter,

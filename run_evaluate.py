@@ -75,6 +75,19 @@ def main(argv=None):
     print(f"H36M  : P1 {h36m['p1']:.2f} mm | P2 {h36m['p2']:.2f} mm")
     print(f"3DHP  : P1 {dhp['p1']:.2f} mm | P2 {dhp['p2']:.2f} mm "
           f"| PCK {dhp['pck']:.2f} | AUC {dhp['auc']:.2f}")
+
+    if not video and getattr(args, "action_wise", False):
+        # per-action H36M P1 breakdown (the paper's reporting format)
+        from dhaug_tpu.train.runners import eval_batches
+        actions = np.asarray(bundle.actions_valid)
+        print("H36M per-action P1 (mm):")
+        for action in sorted(set(actions.tolist())):
+            sel = np.where(actions == action)[0]
+            m = evaluate(forward, params, batch_stats,
+                         eval_batches(bundle.h36m_test.poses_3d[sel],
+                                      bundle.h36m_test.poses_2d[sel],
+                                      args.batch_size))
+            print(f"  {action:14s} {m['p1']:7.2f}")
     return h36m, dhp
 
 
