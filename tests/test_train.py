@@ -216,3 +216,31 @@ class TestAugment:
         x = jnp.arange(2 * 3 * 16 * 2, dtype=jnp.float32).reshape(2, 3, 16, 2)
         r = time_reverse(x)
         np.testing.assert_allclose(np.asarray(r[:, 0]), np.asarray(x[:, 2]))
+
+    def test_flip_intrinsics(self):
+        from dhaug_tpu.ops.augment import flip_intrinsics
+        cam = jnp.arange(9, dtype=jnp.float32)[None] + 1.0
+        out = np.asarray(flip_intrinsics(cam))
+        # principal-point x (idx 2) and tangential x (idx 7) negate
+        np.testing.assert_allclose(out[0, 2], -3.0)
+        np.testing.assert_allclose(out[0, 7], -8.0)
+        np.testing.assert_allclose(out[0, [0, 1, 3, 4, 5, 6, 8]],
+                                   np.asarray(cam)[0, [0, 1, 3, 4, 5, 6, 8]])
+
+    def test_flip_consistency_3d_projection(self):
+        """Flipping a 3D pose and projecting with flipped intrinsics must
+        equal flipping the projected 2D pose — the invariant behind the
+        chunked generators' camera fixups (video_mode_operate.py:172-174)."""
+        import jax
+
+        from dhaug_tpu.gan.wgan import camera_bank
+        from dhaug_tpu.ops.augment import flip_intrinsics, flip_pose
+        from dhaug_tpu.ops.camera import project_to_2d
+        quats, trans, intrs = camera_bank(["S1"])
+        rng = np.random.default_rng(0)
+        cam3d = jnp.asarray(rng.normal(size=(4, 16, 3)).astype(np.float32) * 0.3
+                            + np.array([0, 0, 4.0], np.float32))
+        intr = jnp.broadcast_to(intrs[0], (4, 9))
+        a = flip_pose(project_to_2d(cam3d, intr))
+        b = project_to_2d(flip_pose(cam3d), flip_intrinsics(intr))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
