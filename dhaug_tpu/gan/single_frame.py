@@ -42,8 +42,9 @@ def _reskin_chunk(poses_3d, cams, templates, idx):
 def reskin_dataset(ds: PoseDataset, templates: np.ndarray,
                    rng: np.random.Generator) -> PoseDataset:
     """Random bone-length template re-skin of every frame + re-projection.
-    Returns a new PoseDataset (cams unchanged).  Chunks stay on device; the
-    host sees one transfer per array at the end."""
+    Returns a new PoseDataset whose pose arrays are DEVICE-resident jax
+    arrays (its only consumer, the GAN epoch, batches them with on-device
+    index gathers — no host round trip)."""
     n = len(ds)
     templates_j = jnp.asarray(templates)
     chunks3d, chunks2d = [], []
@@ -60,10 +61,8 @@ def reskin_dataset(ds: PoseDataset, templates: np.ndarray,
                                      templates_j, jnp.asarray(idx))
         chunks3d.append(new3d[: e - s])
         chunks2d.append(new2d[: e - s])
-    out3d = np.asarray(jnp.concatenate(chunks3d)) if len(chunks3d) > 1 \
-        else np.asarray(chunks3d[0])
-    out2d = np.asarray(jnp.concatenate(chunks2d)) if len(chunks2d) > 1 \
-        else np.asarray(chunks2d[0])
+    out3d = jnp.concatenate(chunks3d) if len(chunks3d) > 1 else chunks3d[0]
+    out2d = jnp.concatenate(chunks2d) if len(chunks2d) > 1 else chunks2d[0]
     return PoseDataset(out3d, out2d, ds.cams)
 
 
@@ -145,16 +144,30 @@ def run_gan_epoch(gan: GanBundle, gt2d3d: PoseDataset, target_2d: PoseTarget,
     steps = gan.steps
     gen_state, d3d_state, d2d_state = gan.gen_state, gan.d3d_state, gan.d2d_state
 
+    # Device-resident epoch data: upload once, batch by on-device index
+    # gathers — per-iteration host->device staging costs ~30 ms through this
+    # environment's tunnel and throttled the loop to ~1 iter/s.
+    dev_3d = jnp.asarray(gt2d3d.poses_3d)
+    dev_cam = jnp.asarray(gt2d3d.cams)
+    dev_t2d = jnp.asarray(target_2d.poses)
+    n = len(gt2d3d)
+    n_t2d = len(target_2d)
+    # the reference zips independently shuffled loaders (model_fk_gan_train.py:273)
+    perm_real = np_rng.permutation(n)
+    perm_t2d = np_rng.permutation(n_t2d)
+    n_batches = min(n, n_t2d) // batch_size
+
     buf3d, buf2d, bufcam = [], [], []
-    for (real_3d, _real_2d, cam16), tgt2d, _tgt3d in zip(
-            gt2d3d.batches(np_rng, batch_size),
-            target_2d.batches(np_rng, batch_size),
-            target_3d.batches(np_rng, batch_size)):
+    for b in range(n_batches):
+        sel_r = jnp.asarray(perm_real[b * batch_size:(b + 1) * batch_size])
+        sel_t = jnp.asarray(perm_t2d[b * batch_size:(b + 1) * batch_size])
+        real_3d = dev_3d[sel_r]
+        cam16 = dev_cam[sel_r]
+        tgt2d = dev_t2d[sel_t]
         key, k_c, k_g = jax.random.split(key, 3)
         (d3d_state, d2d_state, cam_idx, bone_len, fake_cam3d, fake_2d, intr,
          metrics) = steps.critics_step(
-            d3d_state, d2d_state, gen_state.params,
-            jnp.asarray(real_3d), jnp.asarray(cam16), jnp.asarray(tgt2d), k_c)
+            d3d_state, d2d_state, gen_state.params, real_3d, cam16, tgt2d, k_c)
         summary.train_discrim_iter_num += 1
 
         if summary.train_iter_num % 5 == 4:

@@ -47,24 +47,36 @@ def make_logger(run_dir: str, args) -> Tuple[Logger, Summary]:
 def eval_batches(poses_3d: np.ndarray, poses_2d: np.ndarray,
                  batch_size: int) -> Iterator[tuple]:
     """Fixed-shape eval batching: full batches plus one edge-padded remainder
-    batch carrying its valid count (so jit sees at most one shape)."""
+    batch carrying its valid count (so jit sees at most one shape).  Arrays
+    are uploaded to device once; batches are on-device slices."""
+    import jax.numpy as jnp
     n = poses_3d.shape[0]
+    dev3d = jnp.asarray(poses_3d)
+    dev2d = jnp.asarray(poses_2d)
     full = n - (n % batch_size)
     for s in range(0, full, batch_size):
-        yield poses_2d[s:s + batch_size], poses_3d[s:s + batch_size], batch_size
+        yield dev2d[s:s + batch_size], dev3d[s:s + batch_size], batch_size
     if full < n:
         rem = n - full
         pad = batch_size - rem
-        p2 = np.concatenate([poses_2d[full:], np.repeat(poses_2d[-1:], pad, 0)])
-        p3 = np.concatenate([poses_3d[full:], np.repeat(poses_3d[-1:], pad, 0)])
+        p2 = jnp.concatenate([dev2d[full:], jnp.repeat(dev2d[-1:], pad, 0)])
+        p3 = jnp.concatenate([dev3d[full:], jnp.repeat(dev3d[-1:], pad, 0)])
         yield p2, p3, rem
 
 
 def train_batches(ds, rng: np.random.Generator, batch_size: int):
     """(inputs_2d, targets_3d) shuffled fixed-shape batches from a
-    PoseDataset-like object."""
-    for p3, p2, _cam in ds.batches(rng, batch_size):
-        yield p2, p3
+    PoseDataset-like object, as DEVICE-resident gathers: the epoch's arrays
+    are uploaded once and every batch is an on-device index gather (per-batch
+    host->device staging costs ~30 ms through this environment's tunnel)."""
+    import jax.numpy as jnp
+    dev2d = jnp.asarray(ds.poses_2d)
+    dev3d = jnp.asarray(ds.poses_3d)
+    n = len(ds)
+    perm = rng.permutation(n)
+    for s in range(0, n - (n % batch_size), batch_size):
+        sel = jnp.asarray(perm[s:s + batch_size])
+        yield dev2d[sel], dev3d[sel]
 
 
 def evaluate_both(forward, flip_forward, params, batch_stats, bundle: DataBundle,
