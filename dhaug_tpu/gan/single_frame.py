@@ -142,68 +142,63 @@ def run_gan_epoch(gan: GanBundle, gt2d3d: PoseDataset, target_2d: PoseTarget,
     """One GAN pass over the epoch's batches.  Returns the updated states and
     the fake (cam-3D, 2D, intrinsics) dataset for posenet co-training."""
     steps = gan.steps
-    gen_state, d3d_state, d2d_state = gan.gen_state, gan.d3d_state, gan.d2d_state
 
-    # Device-resident epoch data: upload once, batch by on-device index
-    # gathers — per-iteration host->device staging costs ~30 ms through this
-    # environment's tunnel and throttled the loop to ~1 iter/s.
+    # Device-resident epoch data: upload once; the WHOLE epoch (critic
+    # updates every iteration, generator every 5th, fake buffering) runs as
+    # one compiled lax.scan program — a single dispatch instead of hundreds
+    # of per-batch round trips (model_fk_gan_train.py:273-510's loop).
     dev_3d = jnp.asarray(gt2d3d.poses_3d)
     dev_cam = jnp.asarray(gt2d3d.cams)
     dev_t2d = jnp.asarray(target_2d.poses)
     n = len(gt2d3d)
     n_t2d = len(target_2d)
     # the reference zips independently shuffled loaders (model_fk_gan_train.py:273)
-    perm_real = np_rng.permutation(n)
-    perm_t2d = np_rng.permutation(n_t2d)
     n_batches = min(n, n_t2d) // batch_size
+    if n_batches == 0:
+        return gan, None
+    idx_real = np_rng.permutation(n)[: n_batches * batch_size]
+    idx_t2d = np_rng.permutation(n_t2d)[: n_batches * batch_size]
+    idx_real = jnp.asarray(idx_real.reshape(n_batches, batch_size))
+    idx_t2d = jnp.asarray(idx_t2d.reshape(n_batches, batch_size))
 
-    buf3d, buf2d, bufcam = [], [], []
-    for b in range(n_batches):
-        sel_r = jnp.asarray(perm_real[b * batch_size:(b + 1) * batch_size])
-        sel_t = jnp.asarray(perm_t2d[b * batch_size:(b + 1) * batch_size])
-        real_3d = dev_3d[sel_r]
-        cam16 = dev_cam[sel_r]
-        tgt2d = dev_t2d[sel_t]
-        key, k_c, k_g = jax.random.split(key, 3)
-        (d3d_state, d2d_state, cam_idx, bone_len, fake_cam3d, fake_2d, intr,
-         metrics) = steps.critics_step(
-            d3d_state, d2d_state, gen_state.params, real_3d, cam16, tgt2d, k_c)
-        summary.train_discrim_iter_num += 1
+    key, k_epoch = jax.random.split(key)
+    gen_state, d3d_state, d2d_state, outs = steps.epoch_step(
+        gan.gen_state, gan.d3d_state, gan.d2d_state,
+        dev_3d, dev_cam, dev_t2d, idx_real, idx_t2d,
+        jnp.asarray(summary.train_iter_num, jnp.int32), k_epoch)
+    fake3d, fake2d, intr, w3d, w2d, c3d, c2d = outs
 
-        if summary.train_iter_num % 5 == 4:
-            gen_state, gmetrics = steps.generator_step(
-                gen_state, d3d_state.params, d2d_state.params,
-                bone_len, cam_idx, k_g)
-            summary.train_fakepose_iter_num += 1
-            if writer is not None:
-                writer.add_scalar("train_G_iter_PoseFk/G_cost",
-                                  float(gmetrics["g_cost"]), summary.train_iter_num)
+    gen_steps = sum(1 for b in range(n_batches)
+                    if (summary.train_iter_num + b) % 5 == 4)
+    summary.train_discrim_iter_num += n_batches
+    summary.train_fakepose_iter_num += gen_steps
+    iter_base = summary.train_iter_num
+    summary.train_iter_num += n_batches
 
-        if writer is not None and summary.train_iter_num % 50 == 0:
-            for tag in ("3d_wasserstein", "2d_wasserstein", "3d_d_cost", "2d_d_cost"):
-                writer.add_scalar(f"train_G_iter_PoseFk/{tag}",
-                                  float(metrics[tag]), summary.train_iter_num)
-
-        if record_dir is not None and summary.train_iter_num % 500 == 1:
-            import os
-            dump_angle_heatmap(
-                gan._replace(gen_state=gen_state), k_g,
-                os.path.join(record_dir,
-                             f"34DOF_3GlobalRot_heatmap_{summary.train_iter_num}.jpg"))
-
-        # Buffers stay device-resident; one host transfer at epoch end (the
-        # reference syncs .cpu().numpy() every batch — its biggest
-        # self-inflicted stall, model_fk_gan_train.py:487-489).
-        buf3d.append(fake_cam3d)
-        buf2d.append(fake_2d)
-        bufcam.append(intr)
-        summary.train_iter_num += 1
+    if writer is not None:
+        # stacked per-iteration metrics, one host fetch for all of them
+        w3d, w2d, c3d, c2d = (np.asarray(x) for x in (w3d, w2d, c3d, c2d))
+        for b in range(0, n_batches, 50):
+            it = iter_base + b
+            writer.add_scalar("train_G_iter_PoseFk/3d_wasserstein", float(w3d[b]), it)
+            writer.add_scalar("train_G_iter_PoseFk/2d_wasserstein", float(w2d[b]), it)
+            writer.add_scalar("train_G_iter_PoseFk/3d_d_cost", float(c3d[b]), it)
+            writer.add_scalar("train_G_iter_PoseFk/2d_d_cost", float(c2d[b]), it)
 
     gan = gan._replace(gen_state=gen_state, d3d_state=d3d_state,
                        d2d_state=d2d_state)
-    if not buf3d:
-        return gan, None
-    fake_ds = PoseDataset(np.asarray(jnp.concatenate(buf3d)),
-                          np.asarray(jnp.concatenate(buf2d)),
-                          np.asarray(jnp.concatenate(bufcam)))
+
+    if record_dir is not None:
+        import os
+        dump_angle_heatmap(
+            gan, key,
+            os.path.join(record_dir,
+                         f"34DOF_3GlobalRot_heatmap_{iter_base + 1}.jpg"))
+
+    # fake buffers stay DEVICE-resident: the posenet phase consumes them with
+    # on-device gathers, so no host round trip of ~50 MB per epoch
+    B = batch_size
+    fake_ds = PoseDataset(fake3d.reshape(n_batches * B, 16, 3),
+                          fake2d.reshape(n_batches * B, 16, 2),
+                          intr.reshape(n_batches * B, 9))
     return gan, fake_ds

@@ -119,6 +119,7 @@ def make_critic_step(critic_apply, tx, lambda_gp: float):
 class SingleFrameSteps(NamedTuple):
     critics_step: callable
     generator_step: callable
+    epoch_step: callable
 
 
 def make_single_frame_steps(gen_apply, d3d_apply, d2d_apply,
@@ -228,5 +229,46 @@ def make_single_frame_steps(gen_apply, d3d_apply, d2d_apply,
         return (gen_state.replace(params=params, opt_state=opt_state),
                 {"g_cost": -loss})
 
+    @jax.jit
+    def epoch_step(gen_state, d3d_state, d2d_state,
+                   dev_3d, dev_cam, dev_t2d, idx_real, idx_t2d, iter0, key):
+        """A whole GAN epoch as ONE compiled program: lax.scan over the
+        batches, critic updates every iteration, generator update every 5th
+        (via lax.cond on the global iteration counter).  Inputs are the
+        device-resident epoch arrays plus (n_batches, B) index matrices;
+        outputs are the stacked fake buffers and per-iteration metrics.
+
+        One dispatch replaces hundreds — through this environment's TPU
+        tunnel each dispatch costs tens of ms of host time, which made the
+        per-step loop ~50x slower than the device could run.
+        """
+        n_batches = idx_real.shape[0]
+        keys = jax.random.split(key, n_batches)
+
+        def body(carry, inp):
+            gen_s, d3_s, d2_s, it = carry
+            sel_r, sel_t, k = inp
+            k_c, k_g = jax.random.split(k)
+            (d3_s, d2_s, cam_idx, bone_len, fake_cam3d, fake_2d, intr,
+             metrics) = _critics_step(d3_s, d2_s, gen_s.params,
+                                      dev_3d[sel_r], dev_cam[sel_r],
+                                      dev_t2d[sel_t], k_c)
+            gen_s = jax.lax.cond(
+                it % 5 == 4,
+                lambda gs: generator_step(gs, d3_s.params, d2_s.params,
+                                          bone_len, cam_idx, k_g)[0],
+                lambda gs: gs,
+                gen_s)
+            outs = (fake_cam3d, fake_2d, intr,
+                    metrics["3d_wasserstein"], metrics["2d_wasserstein"],
+                    metrics["3d_d_cost"], metrics["2d_d_cost"])
+            return (gen_s, d3_s, d2_s, it + 1), outs
+
+        (gen_state, d3d_state, d2d_state, _), outs = jax.lax.scan(
+            body, (gen_state, d3d_state, d2d_state, iter0),
+            (idx_real, idx_t2d, keys))
+        return gen_state, d3d_state, d2d_state, outs
+
     return SingleFrameSteps(critics_step=critics_step,
-                            generator_step=generator_step)
+                            generator_step=generator_step,
+                            epoch_step=epoch_step)

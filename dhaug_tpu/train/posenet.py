@@ -88,6 +88,50 @@ def train_epoch(step, state: NetState, batches, key, *,
     return state, mean_loss
 
 
+def make_posenet_epoch_fn(model, tx, criterion: str = "mse",
+                          flip: bool = True):
+    """A whole posenet training pass as ONE compiled program: lax.scan over
+    (n_batches, B) index rows of device-resident epoch arrays, with the
+    optional flip-duplicated Adam step inside the scan body.  Replaces
+    hundreds of per-batch dispatches (each costs tens of ms of host time
+    through this environment's TPU tunnel)."""
+    step = make_posenet_train_step(model, tx, criterion)
+
+    @jax.jit
+    def epoch_fn(state: NetState, dev2d, dev3d, idx, key):
+        keys = jax.random.split(key, idx.shape[0])
+
+        def body(state, inp):
+            sel, k = inp
+            k1, k2 = jax.random.split(k)
+            x = dev2d[sel]
+            y = root_relative(dev3d[sel])
+            state, loss = step(state, x, y, k1)
+            if flip:
+                state, _ = step(state, flip_pose(x), flip_pose(y), k2)
+            return state, loss
+
+        state, losses = jax.lax.scan(body, state, (idx, keys))
+        return state, jnp.mean(losses)
+
+    return epoch_fn
+
+
+def train_epoch_scan(epoch_fn, state: NetState, poses_2d, poses_3d,
+                     np_rng, batch_size: int, key):
+    """Drive a scan-epoch function: build the shuffled (n_batches, B) index
+    matrix, run the single dispatch, return (state, mean loss)."""
+    n = poses_2d.shape[0]
+    n_batches = n // batch_size
+    if n_batches == 0:
+        return state, float("nan")
+    idx = np_rng.permutation(n)[: n_batches * batch_size]
+    idx = jnp.asarray(idx.reshape(n_batches, batch_size))
+    state, loss = epoch_fn(state, jnp.asarray(poses_2d), jnp.asarray(poses_3d),
+                           idx, key)
+    return state, float(loss)
+
+
 def make_posenet_eval_step(model):
     @jax.jit
     def forward(params, batch_stats, inputs_2d):
@@ -140,7 +184,7 @@ def evaluate(forward, params, batch_stats, batches,
         targets_3d = jnp.asarray(targets_3d)
         outputs = fwd(params, batch_stats, inputs_2d)
         p1, p2, err = _per_sample_metrics(outputs, targets_3d)
-        p1, p2, err = np.asarray(p1), np.asarray(p2), np.asarray(err)
+        # stay on device; a single host fetch happens after the loop
         if valid is not None:
             p1, p2, err = p1[:valid], p2[:valid], err[:valid]
         p1s.append(p1)
@@ -148,7 +192,9 @@ def evaluate(forward, params, batch_stats, batches,
         errs.append(err)
     if not p1s:
         return {k: float("nan") for k in ("p1", "p2", "pck", "auc")}
-    err = np.concatenate(errs)
+    p1s = [np.asarray(jnp.concatenate(p1s))]
+    p2s = [np.asarray(jnp.concatenate(p2s))]
+    err = np.asarray(jnp.concatenate(errs))
     return {
         "p1": float(np.mean(np.concatenate(p1s))),
         "p2": float(np.mean(np.concatenate(p2s))),

@@ -73,9 +73,9 @@ def train_batches(ds, rng: np.random.Generator, batch_size: int):
     dev2d = jnp.asarray(ds.poses_2d)
     dev3d = jnp.asarray(ds.poses_3d)
     n = len(ds)
-    perm = rng.permutation(n)
+    perm = jnp.asarray(rng.permutation(n))  # one upload; slices stay on device
     for s in range(0, n - (n % batch_size), batch_size):
-        sel = jnp.asarray(perm[s:s + batch_size])
+        sel = perm[s:s + batch_size]
         yield dev2d[sel], dev3d[sel]
 
 

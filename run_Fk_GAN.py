@@ -33,10 +33,11 @@ def single_frame_mode_main(args, bundle, train_subjects):
     from dhaug_tpu.data.loaders import PoseDataset, PoseTarget
     from dhaug_tpu.models.factory import init_posenet, make_posenet
     from dhaug_tpu.train.data_prep import world_pose_pool
-    from dhaug_tpu.train.posenet import (make_posenet_eval_step,
-                                         make_posenet_train_step, train_epoch)
+    from dhaug_tpu.train.posenet import (make_posenet_epoch_fn,
+                                         make_posenet_eval_step,
+                                         train_epoch_scan)
     from dhaug_tpu.train.runners import (evaluate_both, make_logger,
-                                         make_run_dir, train_batches)
+                                         make_run_dir)
     from dhaug_tpu.train.state import (adam_posenet, lambda_lr, make_state,
                                        set_learning_rate)
     from dhaug_tpu.utils.checkpoint import save_ckpt
@@ -53,8 +54,12 @@ def single_frame_mode_main(args, bundle, train_subjects):
                                        bundle.train_det2d3d.poses_2d[:2])
     pos_tx = adam_posenet(args.lr_p, max_norm=1.0 if args.max_norm else 1e9)
     pos_state = make_state(pos_tx, params, batch_stats)
-    pos_step = make_posenet_train_step(model, pos_tx, criterion="mse")
+    pos_epoch_fn = make_posenet_epoch_fn(model, pos_tx, criterion="mse",
+                                         flip=args.flip_pos_model_input)
     forward, flip_forward = make_posenet_eval_step(model)
+    # static real train split: device-resident across all epochs
+    dev_real_2d = jax.numpy.asarray(bundle.train_det2d3d.poses_2d)
+    dev_real_3d = jax.numpy.asarray(bundle.train_det2d3d.poses_3d)
 
     key, k_gan = jax.random.split(key)
     gan = build_gan(args, train_subjects, k_gan) \
@@ -163,10 +168,9 @@ def single_frame_mode_main(args, bundle, train_subjects):
             args.data_enhancement_method == "normal"
         if train_now and fake_ds is not None:
             key, k1 = jax.random.split(key)
-            pos_state, _ = train_epoch(pos_step, pos_state,
-                                       train_batches(fake_ds, np_rng,
-                                                     args.batch_size),
-                                       k1, flip=args.flip_pos_model_input)
+            pos_state, _ = train_epoch_scan(pos_epoch_fn, pos_state,
+                                            fake_ds.poses_2d, fake_ds.poses_3d,
+                                            np_rng, args.batch_size, k1)
             h36m, dhp = evaluate_both(forward, flip_forward, pos_state.params,
                                       pos_state.batch_stats, bundle,
                                       args.batch_size)
@@ -176,10 +180,9 @@ def single_frame_mode_main(args, bundle, train_subjects):
 
         if train_now or args.data_enhancement_method == "NO_enhance":
             key, k2 = jax.random.split(key)
-            pos_state, _ = train_epoch(pos_step, pos_state,
-                                       train_batches(bundle.train_det2d3d,
-                                                     np_rng, args.batch_size),
-                                       k2, flip=args.flip_pos_model_input)
+            pos_state, _ = train_epoch_scan(pos_epoch_fn, pos_state,
+                                            dev_real_2d, dev_real_3d,
+                                            np_rng, args.batch_size, k2)
             h36m, dhp = evaluate_both(forward, flip_forward, pos_state.params,
                                       pos_state.batch_stats, bundle,
                                       args.batch_size)

@@ -26,12 +26,15 @@ def main(argv=None):
 
     import jax
 
+    import jax.numpy as jnp
+
     from dhaug_tpu.models.factory import init_posenet, make_posenet
     from dhaug_tpu.train.data_prep import prepare_data
-    from dhaug_tpu.train.posenet import (make_posenet_eval_step,
-                                         make_posenet_train_step, train_epoch)
+    from dhaug_tpu.train.posenet import (make_posenet_epoch_fn,
+                                         make_posenet_eval_step,
+                                         train_epoch_scan)
     from dhaug_tpu.train.runners import (evaluate_both, make_logger,
-                                         make_run_dir, train_batches)
+                                         make_run_dir)
     from dhaug_tpu.train.state import (adam_posenet, make_state,
                                        set_learning_rate, step_exp_lr)
     from dhaug_tpu.utils.checkpoint import save_ckpt
@@ -54,8 +57,12 @@ def main(argv=None):
 
     tx = adam_posenet(args.lr, max_norm=1.0 if args.max_norm else 1e9)
     state = make_state(tx, params, batch_stats)
-    step_fn = make_posenet_train_step(model, tx, criterion="mse")
+    epoch_fn = make_posenet_epoch_fn(model, tx, criterion="mse",
+                                     flip=args.flip_pos_model_input)
     forward, flip_forward = make_posenet_eval_step(model)
+    # the train split is static: upload once for every epoch's index gathers
+    dev2d = jnp.asarray(bundle.train_det2d3d.poses_2d)
+    dev3d = jnp.asarray(bundle.train_det2d3d.poses_3d)
 
     run_dir = make_run_dir(args)
     print(f"==> Saving to {run_dir}")
@@ -71,10 +78,8 @@ def main(argv=None):
         state = set_learning_rate(state, lr_now)
 
         key, k_epoch = jax.random.split(key)
-        state, loss = train_epoch(step_fn, state,
-                                  train_batches(bundle.train_det2d3d, np_rng,
-                                                args.batch_size),
-                                  k_epoch, flip=args.flip_pos_model_input)
+        state, loss = train_epoch_scan(epoch_fn, state, dev2d, dev3d,
+                                       np_rng, args.batch_size, k_epoch)
 
         h36m, dhp = evaluate_both(forward, flip_forward, state.params,
                                   state.batch_stats, bundle, args.batch_size)
