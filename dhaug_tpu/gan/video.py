@@ -291,8 +291,12 @@ def run_video_gan_epoch(gan: VideoGanBundle, gan_loader, batch_size: int,
     d3d_state, d2d_state = gan.d3d_state, gan.d2d_state
     md3d_state, md2d_state = gan.md3d_state, gan.md2d_state
 
+    # device-resident windows when the loader supports them (ChunkWindows)
+    epoch_iter = gan_loader.device_epoch() if hasattr(gan_loader, "device_epoch") \
+        else gan_loader.next_epoch()
+
     buf3d, buf2d, bufcam = [], [], []
-    for cam16, clip3d, clip2d in gan_loader.next_epoch():
+    for cam16, clip3d, clip2d in epoch_iter:
         if clip3d.shape[0] < batch_size:
             continue
         key, k_c, k_g = jax.random.split(key, 3)

@@ -76,6 +76,19 @@ class TestChunkWindows:
         assert np.all(w2d[:5] == 0.0)
         assert np.all(w2d[5:] == 1.0)
 
+    def test_device_epoch_matches_host_epoch(self):
+        rng = np.random.default_rng(5)
+        seq3d, seq2d, cams = _sequences(rng, lengths=(12, 9))
+        kw = dict(batch_size=4, cams=cams, poses_3d=seq3d, poses_2d=seq2d,
+                  pad=2, full_3d_window=True, shuffle=True, random_seed=7)
+        host = list(ChunkWindows(**kw).next_epoch())
+        dev = list(ChunkWindows(**kw).device_epoch())
+        assert len(host) == len(dev)
+        for (hc, h3, h2), (dc, d3, d2) in zip(host, dev):
+            np.testing.assert_allclose(np.asarray(d2), h2, atol=1e-6)
+            np.testing.assert_allclose(np.asarray(d3), h3, atol=1e-6)
+            np.testing.assert_allclose(np.asarray(dc), hc, atol=1e-6)
+
     def test_num_batches(self):
         rng = np.random.default_rng(3)
         seq3d, seq2d, cams = _sequences(rng, lengths=(33,))
