@@ -116,6 +116,72 @@ class TestSingleFrameSteps:
         assert not np.allclose(np.asarray(gen_before), np.asarray(gen_after))
 
 
+class TestEpochScan:
+    def _build(self):
+        gen_cfg = GeneratorConfig(dense_dim=32)
+        gen = FkGeneratorNet(gen_cfg)
+        d3d = Fk3DDiscriminator(dense_dim=32)
+        d2d = Fk2DDiscriminator(dense_dim=32)
+        gp = gen.init(KEY, jnp.zeros((2, 128)))["params"]
+        p3 = d3d.init(KEY, jnp.zeros((2, 16, 3)))["params"]
+        p2 = d2d.init(KEY, jnp.zeros((2, 16, 2)))["params"]
+        txs = [adam_gan() for _ in range(3)]
+        quats, trans, intrs = camera_bank(["S1"])
+        steps = make_single_frame_steps(
+            lambda p, x: gen.apply({"params": p}, x),
+            lambda p, x: d3d.apply({"params": p}, x),
+            lambda p, x: d2d.apply({"params": p}, x),
+            txs[0], txs[1], txs[2], gen_cfg, GanHyper(flip=False),
+            quats, trans, intrs)
+        return steps, make_state(txs[2], gp), make_state(txs[0], p3), \
+            make_state(txs[1], p2), intrs, quats, trans
+
+    def _epoch(self, n_batches, iter0):
+        steps, gen_s, d3_s, d2_s, intrs, quats, trans = self._build()
+        B, n = 8, 64
+        rng = np.random.default_rng(0)
+        dev3d = jnp.asarray(rng.normal(size=(n, 16, 3)).astype(np.float32) * 0.3)
+        devcam = jnp.concatenate([
+            jnp.broadcast_to(intrs[0], (n, 9)),
+            jnp.broadcast_to(quats[0], (n, 4)),
+            jnp.broadcast_to(trans[0], (n, 3))], axis=1)
+        devt2d = jnp.asarray(rng.normal(size=(n, 16, 2)).astype(np.float32) * 0.3)
+        idx = jnp.asarray(rng.permutation(n)[: n_batches * B]
+                          .reshape(n_batches, B))
+        gen_before = jax.tree.leaves(gen_s.params)[0].copy()
+        out = steps.epoch_step(gen_s, d3_s, d2_s, dev3d, devcam, devt2d,
+                               idx, idx, jnp.asarray(iter0, jnp.int32), KEY)
+        gen_s2, d3_s2, d2_s2, outs = out
+        return gen_before, gen_s2, d3_s2, d3_s, outs, n_batches, B
+
+    def test_generator_updates_only_on_fifth_iteration(self):
+        # 4 iterations starting at global iter 0: no generator update
+        gb, gen_s2, *_ = self._epoch(4, 0)
+        np.testing.assert_allclose(
+            np.asarray(jax.tree.leaves(gen_s2.params)[0]), np.asarray(gb))
+        # 5 iterations: exactly the it==4 update fires
+        gb, gen_s2, *_ = self._epoch(5, 0)
+        assert not np.allclose(
+            np.asarray(jax.tree.leaves(gen_s2.params)[0]), np.asarray(gb))
+        # 1 iteration starting at global iter 4: update fires immediately
+        gb, gen_s2, *_ = self._epoch(1, 4)
+        assert not np.allclose(
+            np.asarray(jax.tree.leaves(gen_s2.params)[0]), np.asarray(gb))
+
+    def test_epoch_outputs(self):
+        _, gen_s2, d3_s2, d3_s0, outs, nB, B = self._epoch(6, 0)
+        fake3d, fake2d, intr, w3d, w2d, c3d, c2d = outs
+        assert fake3d.shape == (nB, B, 16, 3)
+        assert fake2d.shape == (nB, B, 16, 2)
+        assert intr.shape == (nB, B, 9)
+        assert w3d.shape == (nB,)
+        assert np.isfinite(np.asarray(w3d)).all()
+        # critics actually trained
+        a = jax.tree.leaves(d3_s2.params)[0]
+        b = jax.tree.leaves(d3_s0.params)[0]
+        assert not np.allclose(np.asarray(a), np.asarray(b))
+
+
 class TestTraditional:
     def test_angles_within_ranges(self):
         angles33, grot = sample_traditional_angles(KEY, 256)
