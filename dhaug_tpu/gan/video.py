@@ -61,6 +61,7 @@ class VideoGanBundle(NamedTuple):
 class VideoSteps(NamedTuple):
     critics_step: callable     # static arg: use_motion
     generator_step: callable   # static arg: use_motion
+    epoch_step: callable       # whole epoch as one scan program
 
 
 def build_video_gan(args, train_subjects, video_frames: int, key) -> VideoGanBundle:
@@ -271,6 +272,50 @@ def build_video_gan(args, train_subjects, video_frames: int, key) -> VideoGanBun
         return (gen_state.replace(params=params, opt_state=opt_state),
                 {"g_cost": -loss})
 
+    @functools.partial(jax.jit, static_argnames=("use_motion",))
+    def epoch_step(gen_state, d3d_state, d2d_state, md3d_state, md2d_state,
+                   big3d, big2d, cams, start3d, start2d, cam_sel, iter0, key,
+                   use_motion: bool):
+        """A whole video-GAN epoch as ONE compiled program.  ``big3d/big2d``
+        are the edge-padded sequence concatenations (device-resident, see
+        data/chunked.py); ``start3d/start2d/cam_sel`` are (n_batches, B)
+        window-start/camera-row matrices.  Clip windows are gathered on
+        device inside the scan; critic updates run every iteration and the
+        generator every 5th global iteration."""
+        n_batches = start3d.shape[0]
+        keys = jax.random.split(key, n_batches)
+        win = jnp.arange(F)
+
+        def body(carry, inp):
+            gen_s, d3, d2, md3, md2, it = carry
+            s3, s2, sc, k = inp
+            clip3d = big3d[s3[:, None] + win[None]]
+            clip2d = big2d[s2[:, None] + win[None]]
+            cam16 = cams[sc]
+            k_c, k_g = jax.random.split(k)
+            (d3, d2, md3, md2, cam_idx, bone_len, fake_cam3d, fake_2d, intr,
+             metrics) = critics_step(d3, d2, md3, md2, gen_s.params,
+                                     clip3d, cam16, clip2d, k_c,
+                                     use_motion=use_motion)
+            gen_s = jax.lax.cond(
+                it % 5 == 4,
+                lambda gs: generator_step(gs, d3.params, d2.params,
+                                          md3.params, md2.params, bone_len,
+                                          cam_idx, k_g,
+                                          use_motion=use_motion)[0],
+                lambda gs: gs,
+                gen_s)
+            outs = (fake_cam3d, fake_2d, intr,
+                    metrics["3d_wasserstein"], metrics["2d_wasserstein"])
+            return (gen_s, d3, d2, md3, md2, it + 1), outs
+
+        (gen_state, d3d_state, d2d_state, md3d_state, md2d_state, _), outs = \
+            jax.lax.scan(body,
+                         (gen_state, d3d_state, d2d_state, md3d_state,
+                          md2d_state, iter0),
+                         (start3d, start2d, cam_sel, keys))
+        return gen_state, d3d_state, d2d_state, md3d_state, md2d_state, outs
+
     return VideoGanBundle(
         gen_state=make_state(txs["gen"], gen_params),
         d3d_state=make_state(txs["d3d"], d3d_params),
@@ -278,15 +323,25 @@ def build_video_gan(args, train_subjects, video_frames: int, key) -> VideoGanBun
         md3d_state=make_state(txs["md3d"], md3d_params),
         md2d_state=make_state(txs["md2d"], md2d_params),
         steps=VideoSteps(critics_step=critics_step,
-                         generator_step=generator_step),
+                         generator_step=generator_step,
+                         epoch_step=epoch_step),
         gen_cfg=gen_cfg, hyper=hyper, playback=playback)
 
 
 def run_video_gan_epoch(gan: VideoGanBundle, gan_loader, batch_size: int,
                         key, summary, use_motion: bool, writer=None):
     """One pass over the GAN clip loader.  Returns (gan, fake clip arrays:
-    (N, F, 16, 3) cam-space, (N, F, 16, 2), (N, F, 9))."""
+    (N, F, 16, 3) cam-space, (N, F, 16, 2), (N, F, 9)).
+
+    When the loader is a full-window ChunkWindows, the whole epoch runs as
+    one compiled scan program with on-device window gathering; otherwise a
+    per-batch dispatch loop is used."""
     steps = gan.steps
+
+    if getattr(gan_loader, "full_3d_window", False):
+        return _run_video_gan_epoch_scan(gan, gan_loader, batch_size, key,
+                                         summary, use_motion, writer)
+
     gen_state = gan.gen_state
     d3d_state, d2d_state = gan.d3d_state, gan.d2d_state
     md3d_state, md2d_state = gan.md3d_state, gan.md2d_state
@@ -337,3 +392,55 @@ def run_video_gan_epoch(gan: VideoGanBundle, gan_loader, batch_size: int,
     return gan, (np.asarray(jnp.concatenate(buf3d)),
                  np.asarray(jnp.concatenate(buf2d)),
                  np.asarray(jnp.concatenate(bufcam)))
+
+
+def _run_video_gan_epoch_scan(gan: VideoGanBundle, loader, batch_size: int,
+                              key, summary, use_motion: bool, writer=None):
+    """Single-dispatch video GAN epoch over a full-window ChunkWindows."""
+    steps = gan.steps
+    n_batches = loader.n_chunks // batch_size
+    if n_batches == 0:
+        return gan, None
+
+    big3d = jnp.asarray(loader.big3d)
+    big2d = jnp.asarray(loader.big2d)
+    cams = jnp.asarray(loader.cams)
+    order = loader.rng.permutation(loader.n_chunks)[: n_batches * batch_size]
+    start3d = jnp.asarray(loader.start3d[order].reshape(n_batches, batch_size))
+    start2d = jnp.asarray(loader.start2d[order].reshape(n_batches, batch_size))
+    cam_sel = jnp.asarray(order.reshape(n_batches, batch_size))
+
+    key, k_epoch = jax.random.split(key)
+    (gen_state, d3d_state, d2d_state, md3d_state, md2d_state, outs) = \
+        steps.epoch_step(gan.gen_state, gan.d3d_state, gan.d2d_state,
+                         gan.md3d_state, gan.md2d_state,
+                         big3d, big2d, cams, start3d, start2d, cam_sel,
+                         jnp.asarray(summary.train_iter_num, jnp.int32),
+                         k_epoch, use_motion=use_motion)
+    fake3d, fake2d, intr, w3d, w2d = outs
+
+    gen_steps = sum(1 for b in range(n_batches)
+                    if (summary.train_iter_num + b) % 5 == 4)
+    iter_base = summary.train_iter_num
+    summary.train_discrim_iter_num += n_batches
+    summary.train_fakepose_iter_num += gen_steps
+    summary.train_iter_num += n_batches
+
+    if writer is not None:
+        w3d, w2d = np.asarray(w3d), np.asarray(w2d)
+        for b in range(0, n_batches, 50):
+            it = iter_base + b
+            writer.add_scalar("train_G_iter_PoseFk/3d_wasserstein",
+                              float(w3d[b]), it)
+            writer.add_scalar("train_G_iter_PoseFk/2d_wasserstein",
+                              float(w2d[b]), it)
+
+    gan = gan._replace(gen_state=gen_state, d3d_state=d3d_state,
+                       d2d_state=d2d_state, md3d_state=md3d_state,
+                       md2d_state=md2d_state)
+    B = batch_size
+    F = fake3d.shape[2]
+    # fakes stay device-resident for the posenet phase
+    return gan, (fake3d.reshape(n_batches * B, F, 16, 3),
+                 fake2d.reshape(n_batches * B, F, 16, 2),
+                 intr.reshape(n_batches * B, F, 9))
