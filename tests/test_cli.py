@@ -92,6 +92,30 @@ def test_bench_json_contract(workdir):
     assert data["value"] > 0
 
 
+def test_fk_gan_resume_roundtrip(workdir):
+    """Full-state resume: train 2 epochs with --snapshot 1, resume from the
+    snapshot with a higher --epochs, and verify training continues from the
+    next epoch with restored state."""
+    common = ["--posenet_name", "mlp", "--warmup", "0", "--stages", "1",
+              "--additional_train_epoch", "0", "--Gen_DenseDim", "64",
+              "--Dis_DenseDim_3D", "64", "--Dis_DenseDim_2D", "64",
+              "--snapshot", "1", "--data_enhancement_method", "GAN",
+              "--checkpoint", os.path.join(workdir, "resume"), *COMMON]
+    p1 = run_cli("run_Fk_GAN.py", "--epochs", "2", *common)
+    assert p1.returncode == 0, p1.stderr[-2000:]
+    ckpts = []
+    for root, _, files in os.walk(os.path.join(workdir, "resume")):
+        ckpts += [os.path.join(root, f) for f in files
+                  if f == "ckpt_resume_latest.ckpt"]
+    assert ckpts, "no resume snapshot written"
+    p2 = run_cli("run_Fk_GAN.py", "--epochs", "3", "--resume",
+                 sorted(ckpts)[-1], *common)
+    assert p2.returncode == 0, p2.stderr[-2000:]
+    assert "Resumed from" in p2.stdout
+    # resumed run continues at epoch 2 (0-indexed third epoch)
+    assert "Epoch: 2" in p2.stdout
+
+
 def test_fk_gan_video_mode(workdir):
     """Video-mode CLI end to end: GAN warmup epoch + one trained epoch with
     the multi-frame posenet and whole-sequence eval."""
