@@ -198,3 +198,24 @@ def fk_world_pose_pallas(angles: jnp.ndarray, bone_len: jnp.ndarray,
 
     pose = out_t.T.reshape((Bp, 16, 3))
     return pose[:B]
+
+
+def fk_world_pose_pallas_sharded(mesh, angles, bone_len, global_rot, root,
+                                 axis: str = "data", interpret: bool = False):
+    """Run the fused kernel under a Mesh with the batch sharded over
+    ``axis``: each device executes the kernel on its local shard
+    (embarrassingly parallel — no collectives).  Pallas kernels don't
+    partition automatically under GSPMD, so this is the multi-chip entry
+    point for bulk synthesis."""
+    from jax.sharding import PartitionSpec as P
+    try:
+        from jax import shard_map  # jax >= 0.6
+    except ImportError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map
+
+    spec = P(axis)
+    fn = shard_map(
+        lambda a, b, g, r: fk_world_pose_pallas(a, b, g, r, interpret=interpret),
+        mesh=mesh, in_specs=(spec, spec, spec, spec), out_specs=spec,
+        check_rep=False)
+    return fn(angles, bone_len, global_rot, root)

@@ -31,6 +31,23 @@ def test_non_tile_multiple_batch():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
 
+def test_sharded_kernel_matches_single_device():
+    import pytest
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from dhaug_tpu.ops.fk_pallas import fk_world_pose_pallas_sharded
+    from dhaug_tpu.parallel.mesh import make_mesh, shard_batch
+
+    rng = np.random.default_rng(2)
+    angles, bl, grot, root = _inputs(rng, 8 * 512)
+    ref = fk_world_pose(FKInputs(angles, bl, grot, root), 16)
+    mesh = make_mesh(8)
+    with mesh:
+        a, b, g, r = shard_batch(mesh, angles, bl, grot, root)
+        out = fk_world_pose_pallas_sharded(mesh, a, b, g, r, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
 def test_canonical_pose():
     B = 4
     angles = jnp.zeros((B, 33))
