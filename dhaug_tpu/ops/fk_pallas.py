@@ -217,5 +217,5 @@ def fk_world_pose_pallas_sharded(mesh, angles, bone_len, global_rot, root,
     fn = shard_map(
         lambda a, b, g, r: fk_world_pose_pallas(a, b, g, r, interpret=interpret),
         mesh=mesh, in_specs=(spec, spec, spec, spec), out_specs=spec,
-        check_rep=False)
+        check_vma=False)  # the pallas_call's out_shape carries no vma info
     return fn(angles, bone_len, global_rot, root)
