@@ -120,7 +120,8 @@ class ChunkWindows:
             }
         dev = self._dev
         win = jnp.arange(self.window)
-        order = self.rng.permutation(self.n_chunks)
+        order = self.rng.permutation(self.n_chunks) if self.shuffle \
+            else np.arange(self.n_chunks)
         n_full = self.n_chunks // self.batch_size
         start2d = jnp.asarray(self.start2d[order[: n_full * self.batch_size]]
                               .reshape(n_full, self.batch_size))

@@ -152,8 +152,10 @@ def run_gan_epoch(gan: GanBundle, gt2d3d: PoseDataset, target_2d: PoseTarget,
     dev_t2d = jnp.asarray(target_2d.poses)
     n = len(gt2d3d)
     n_t2d = len(target_2d)
-    # the reference zips independently shuffled loaders (model_fk_gan_train.py:273)
-    n_batches = min(n, n_t2d) // batch_size
+    # the reference zips independently shuffled loaders, truncating to the
+    # shortest (model_fk_gan_train.py:273); target_3d bounds the count even
+    # though only its length matters here
+    n_batches = min(n, n_t2d, len(target_3d)) // batch_size
     if n_batches == 0:
         return gan, None
     idx_real = np_rng.permutation(n)[: n_batches * batch_size]
@@ -166,7 +168,7 @@ def run_gan_epoch(gan: GanBundle, gt2d3d: PoseDataset, target_2d: PoseTarget,
         gan.gen_state, gan.d3d_state, gan.d2d_state,
         dev_3d, dev_cam, dev_t2d, idx_real, idx_t2d,
         jnp.asarray(summary.train_iter_num, jnp.int32), k_epoch)
-    fake3d, fake2d, intr, w3d, w2d, c3d, c2d = outs
+    fake3d, fake2d, intr, w3d, w2d, c3d, c2d, g_cost = outs
 
     gen_steps = sum(1 for b in range(n_batches)
                     if (summary.train_iter_num + b) % 5 == 4)
@@ -177,18 +179,29 @@ def run_gan_epoch(gan: GanBundle, gt2d3d: PoseDataset, target_2d: PoseTarget,
 
     if writer is not None:
         # stacked per-iteration metrics, one host fetch for all of them
-        w3d, w2d, c3d, c2d = (np.asarray(x) for x in (w3d, w2d, c3d, c2d))
+        w3d, w2d, c3d, c2d, g_cost = (
+            np.asarray(x) for x in (w3d, w2d, c3d, c2d, g_cost))
         for b in range(0, n_batches, 50):
             it = iter_base + b
             writer.add_scalar("train_G_iter_PoseFk/3d_wasserstein", float(w3d[b]), it)
             writer.add_scalar("train_G_iter_PoseFk/2d_wasserstein", float(w2d[b]), it)
             writer.add_scalar("train_G_iter_PoseFk/3d_d_cost", float(c3d[b]), it)
             writer.add_scalar("train_G_iter_PoseFk/2d_d_cost", float(c2d[b]), it)
+        # G_cost exists only on the every-5th generator iterations (NaN
+        # elsewhere) — log every 10th real update, as the old loop did
+        gen_its = np.where(~np.isnan(g_cost))[0]
+        for b in gen_its[::10]:
+            writer.add_scalar("train_G_iter_PoseFk/G_cost",
+                              float(g_cost[b]), iter_base + int(b))
 
     gan = gan._replace(gen_state=gen_state, d3d_state=d3d_state,
                        d2d_state=d2d_state)
 
-    if record_dir is not None:
+    # angle-distribution heatmap every ~500 iterations, matching the
+    # reference's cadence (Fk_generator.py:172-175): dump when this epoch
+    # crossed a 500-iteration boundary (or at the very start)
+    crossed_500 = (iter_base // 500) != (summary.train_iter_num // 500)
+    if record_dir is not None and (crossed_500 or iter_base == 0):
         import os
         dump_angle_heatmap(
             gan, key,

@@ -297,16 +297,22 @@ def build_video_gan(args, train_subjects, video_frames: int, key) -> VideoGanBun
              metrics) = critics_step(d3, d2, md3, md2, gen_s.params,
                                      clip3d, cam16, clip2d, k_c,
                                      use_motion=use_motion)
-            gen_s = jax.lax.cond(
-                it % 5 == 4,
-                lambda gs: generator_step(gs, d3.params, d2.params,
-                                          md3.params, md2.params, bone_len,
-                                          cam_idx, k_g,
-                                          use_motion=use_motion)[0],
-                lambda gs: gs,
-                gen_s)
-            outs = (fake_cam3d, fake_2d, intr,
-                    metrics["3d_wasserstein"], metrics["2d_wasserstein"])
+            def do_gen(gs):
+                new_gs, gm = generator_step(gs, d3.params, d2.params,
+                                            md3.params, md2.params, bone_len,
+                                            cam_idx, k_g,
+                                            use_motion=use_motion)
+                return new_gs, gm["g_cost"]
+
+            gen_s, g_cost = jax.lax.cond(
+                it % 5 == 4, do_gen, lambda gs: (gs, jnp.nan), gen_s)
+            scalars = {"3d_wasserstein": metrics["3d_wasserstein"],
+                       "2d_wasserstein": metrics["2d_wasserstein"],
+                       "G_cost": g_cost}
+            if use_motion:
+                scalars["motion_3d_wasserstein"] = metrics["motion_3d_wasserstein"]
+                scalars["motion_2d_wasserstein"] = metrics["motion_2d_wasserstein"]
+            outs = (fake_cam3d, fake_2d, intr, scalars)
             return (gen_s, d3, d2, md3, md2, it + 1), outs
 
         (gen_state, d3d_state, d2d_state, md3d_state, md2d_state, _), outs = \
@@ -417,7 +423,7 @@ def _run_video_gan_epoch_scan(gan: VideoGanBundle, loader, batch_size: int,
                          big3d, big2d, cams, start3d, start2d, cam_sel,
                          jnp.asarray(summary.train_iter_num, jnp.int32),
                          k_epoch, use_motion=use_motion)
-    fake3d, fake2d, intr, w3d, w2d = outs
+    fake3d, fake2d, intr, scalars = outs
 
     gen_steps = sum(1 for b in range(n_batches)
                     if (summary.train_iter_num + b) % 5 == 4)
@@ -427,13 +433,17 @@ def _run_video_gan_epoch_scan(gan: VideoGanBundle, loader, batch_size: int,
     summary.train_iter_num += n_batches
 
     if writer is not None:
-        w3d, w2d = np.asarray(w3d), np.asarray(w2d)
-        for b in range(0, n_batches, 50):
-            it = iter_base + b
-            writer.add_scalar("train_G_iter_PoseFk/3d_wasserstein",
-                              float(w3d[b]), it)
-            writer.add_scalar("train_G_iter_PoseFk/2d_wasserstein",
-                              float(w2d[b]), it)
+        scalars = {k: np.asarray(v) for k, v in scalars.items()}
+        for tag, vals in scalars.items():
+            if tag == "G_cost":
+                gen_its = np.where(~np.isnan(vals))[0]
+                for b in gen_its[::10]:
+                    writer.add_scalar("train_G_iter_PoseFk/G_cost",
+                                      float(vals[b]), iter_base + int(b))
+            else:
+                for b in range(0, n_batches, 50):
+                    writer.add_scalar(f"train_G_iter_PoseFk/{tag}",
+                                      float(vals[b]), iter_base + b)
 
     gan = gan._replace(gen_state=gen_state, d3d_state=d3d_state,
                        d2d_state=d2d_state, md3d_state=md3d_state,

@@ -253,15 +253,18 @@ def make_single_frame_steps(gen_apply, d3d_apply, d2d_apply,
              metrics) = _critics_step(d3_s, d2_s, gen_s.params,
                                       dev_3d[sel_r], dev_cam[sel_r],
                                       dev_t2d[sel_t], k_c)
-            gen_s = jax.lax.cond(
-                it % 5 == 4,
-                lambda gs: generator_step(gs, d3_s.params, d2_s.params,
-                                          bone_len, cam_idx, k_g)[0],
-                lambda gs: gs,
+            def do_gen(gs):
+                new_gs, gm = generator_step(gs, d3_s.params, d2_s.params,
+                                            bone_len, cam_idx, k_g)
+                return new_gs, gm["g_cost"]
+
+            gen_s, g_cost = jax.lax.cond(
+                it % 5 == 4, do_gen,
+                lambda gs: (gs, jnp.nan),  # no generator update this iteration
                 gen_s)
             outs = (fake_cam3d, fake_2d, intr,
                     metrics["3d_wasserstein"], metrics["2d_wasserstein"],
-                    metrics["3d_d_cost"], metrics["2d_d_cost"])
+                    metrics["3d_d_cost"], metrics["2d_d_cost"], g_cost)
             return (gen_s, d3_s, d2_s, it + 1), outs
 
         (gen_state, d3d_state, d2d_state, _), outs = jax.lax.scan(

@@ -208,14 +208,17 @@ def fk_world_pose_pallas_sharded(mesh, angles, bone_len, global_rot, root,
     partition automatically under GSPMD, so this is the multi-chip entry
     point for bulk synthesis."""
     from jax.sharding import PartitionSpec as P
-    try:
-        from jax import shard_map  # jax >= 0.6
-    except ImportError:  # pragma: no cover - older jax
-        from jax.experimental.shard_map import shard_map
 
     spec = P(axis)
-    fn = shard_map(
-        lambda a, b, g, r: fk_world_pose_pallas(a, b, g, r, interpret=interpret),
-        mesh=mesh, in_specs=(spec, spec, spec, spec), out_specs=spec,
-        check_vma=False)  # the pallas_call's out_shape carries no vma info
+    body = lambda a, b, g, r: fk_world_pose_pallas(a, b, g, r,
+                                                   interpret=interpret)
+    kwargs = dict(mesh=mesh, in_specs=(spec, spec, spec, spec),
+                  out_specs=spec)
+    try:
+        from jax import shard_map  # jax >= 0.6
+        # the pallas_call's out_shape carries no vma info
+        fn = shard_map(body, check_vma=False, **kwargs)
+    except ImportError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map
+        fn = shard_map(body, check_rep=False, **kwargs)
     return fn(angles, bone_len, global_rot, root)

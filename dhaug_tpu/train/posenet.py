@@ -192,12 +192,12 @@ def evaluate(forward, params, batch_stats, batches,
         errs.append(err)
     if not p1s:
         return {k: float("nan") for k in ("p1", "p2", "pck", "auc")}
-    p1s = [np.asarray(jnp.concatenate(p1s))]
-    p2s = [np.asarray(jnp.concatenate(p2s))]
+    p1 = np.asarray(jnp.concatenate(p1s))
+    p2 = np.asarray(jnp.concatenate(p2s))
     err = np.asarray(jnp.concatenate(errs))
     return {
-        "p1": float(np.mean(np.concatenate(p1s))),
-        "p2": float(np.mean(np.concatenate(p2s))),
+        "p1": float(np.mean(p1)),
+        "p2": float(np.mean(p2)),
         "pck": float(np.mean(err < 150.0) * 100.0),
         "auc": float(np.mean([np.mean(err < t) * 100.0 for t in _AUC_THRESHOLDS])),
     }

@@ -64,19 +64,16 @@ def eval_batches(poses_3d: np.ndarray, poses_2d: np.ndarray,
         yield p2, p3, rem
 
 
-def train_batches(ds, rng: np.random.Generator, batch_size: int):
-    """(inputs_2d, targets_3d) shuffled fixed-shape batches from a
-    PoseDataset-like object, as DEVICE-resident gathers: the epoch's arrays
-    are uploaded once and every batch is an on-device index gather (per-batch
-    host->device staging costs ~30 ms through this environment's tunnel)."""
+def cache_eval_arrays(bundle) -> None:
+    """Replace the bundle's static evaluation arrays with device-resident
+    copies so the per-epoch evaluations don't re-upload them (multi-MB
+    host->device transfers cost ~30 ms each through this environment's
+    tunnel)."""
     import jax.numpy as jnp
-    dev2d = jnp.asarray(ds.poses_2d)
-    dev3d = jnp.asarray(ds.poses_3d)
-    n = len(ds)
-    perm = jnp.asarray(rng.permutation(n))  # one upload; slices stay on device
-    for s in range(0, n - (n % batch_size), batch_size):
-        sel = perm[s:s + batch_size]
-        yield dev2d[sel], dev3d[sel]
+    bundle.h36m_test.poses_2d = jnp.asarray(bundle.h36m_test.poses_2d)
+    bundle.h36m_test.poses_3d = jnp.asarray(bundle.h36m_test.poses_3d)
+    bundle.mpi3d.poses_2d = jnp.asarray(bundle.mpi3d.poses_2d)
+    bundle.mpi3d.poses_3d = jnp.asarray(bundle.mpi3d.poses_3d)
 
 
 def evaluate_both(forward, flip_forward, params, batch_stats, bundle: DataBundle,

@@ -238,6 +238,8 @@ def main(argv=None):
     print("==> Loading dataset...")
     if args.single_or_multi_train_mode == "single":
         bundle = prepare_data(args, per_frame_cam=True)
+        from dhaug_tpu.train.runners import cache_eval_arrays
+        cache_eval_arrays(bundle)
         return single_frame_mode_main(args, bundle, train_subjects)
     elif args.single_or_multi_train_mode == "multi":
         from dhaug_tpu.train.video_runner import video_mode_main

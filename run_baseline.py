@@ -44,6 +44,8 @@ def main(argv=None):
 
     print("==> Loading dataset...")
     bundle = prepare_data(args)
+    from dhaug_tpu.train.runners import cache_eval_arrays
+    cache_eval_arrays(bundle)
 
     print(f"==> Creating model: {args.posenet_name}")
     model = make_posenet(args.posenet_name, stages=args.stages,

@@ -170,7 +170,11 @@ class TestEpochScan:
 
     def test_epoch_outputs(self):
         _, gen_s2, d3_s2, d3_s0, outs, nB, B = self._epoch(6, 0)
-        fake3d, fake2d, intr, w3d, w2d, c3d, c2d = outs
+        fake3d, fake2d, intr, w3d, w2d, c3d, c2d, g_cost = outs
+        # g_cost is NaN except on the every-5th generator iterations
+        g = np.asarray(g_cost)
+        assert np.isnan(g[[0, 1, 2, 3, 5]]).all()
+        assert np.isfinite(g[4])
         assert fake3d.shape == (nB, B, 16, 3)
         assert fake2d.shape == (nB, B, 16, 2)
         assert intr.shape == (nB, B, 9)
