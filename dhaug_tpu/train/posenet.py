@@ -89,12 +89,13 @@ def train_epoch(step, state: NetState, batches, key, *,
 
 
 def make_posenet_epoch_fn(model, tx, criterion: str = "mse",
-                          flip: bool = True):
+                          flip: bool = True, playback: bool = False):
     """A whole posenet training pass as ONE compiled program: lax.scan over
     (n_batches, B) index rows of device-resident epoch arrays, with the
-    optional flip-duplicated Adam step inside the scan body.  Replaces
-    hundreds of per-batch dispatches (each costs tens of ms of host time
-    through this environment's TPU tunnel)."""
+    optional flip-duplicated (and, for video clips, time-reversal playback)
+    Adam steps inside the scan body.  Replaces hundreds of per-batch
+    dispatches (each costs tens of ms of host time through this
+    environment's TPU tunnel)."""
     step = make_posenet_train_step(model, tx, criterion)
 
     @jax.jit
@@ -103,15 +104,55 @@ def make_posenet_epoch_fn(model, tx, criterion: str = "mse",
 
         def body(state, inp):
             sel, k = inp
-            k1, k2 = jax.random.split(k)
+            k1, k2, k3, k4 = jax.random.split(k, 4)
             x = dev2d[sel]
             y = root_relative(dev3d[sel])
             state, loss = step(state, x, y, k1)
+            if playback:  # reversed clip, same target (video_mode_operate.py:577-590)
+                state, _ = step(state, time_reverse(x), y, k2)
             if flip:
-                state, _ = step(state, flip_pose(x), flip_pose(y), k2)
+                xf, yf = flip_pose(x), flip_pose(y)
+                state, _ = step(state, xf, yf, k3)
+                if playback:
+                    state, _ = step(state, time_reverse(xf), yf, k4)
             return state, loss
 
         state, losses = jax.lax.scan(body, state, (idx, keys))
+        return state, jnp.mean(losses)
+
+    return epoch_fn
+
+
+def make_video_window_epoch_fn(model, tx, window: int,
+                               criterion: str = "mpjpe", flip: bool = True,
+                               playback: bool = False):
+    """Scan-epoch for the real video posenet pass: clip windows are gathered
+    ON DEVICE inside the scan from the edge-padded sequence concatenation
+    (see data/chunked.ChunkWindows) — inputs are (n_batches, B) window-start
+    and centre-frame index matrices."""
+    step = make_posenet_train_step(model, tx, criterion)
+
+    @jax.jit
+    def epoch_fn(state: NetState, big2d, big3d, start2d, idx3d, key):
+        win = jnp.arange(window)
+        keys = jax.random.split(key, start2d.shape[0])
+
+        def body(state, inp):
+            s2, i3, k = inp
+            k1, k2, k3, k4 = jax.random.split(k, 4)
+            x = big2d[s2[:, None] + win[None]]        # (B, F, 16, 2)
+            y = root_relative(big3d[i3][:, None])     # (B, 1, 16, 3)
+            state, loss = step(state, x, y, k1)
+            if playback:
+                state, _ = step(state, time_reverse(x), y, k2)
+            if flip:
+                xf, yf = flip_pose(x), flip_pose(y)
+                state, _ = step(state, xf, yf, k3)
+                if playback:
+                    state, _ = step(state, time_reverse(xf), yf, k4)
+            return state, loss
+
+        state, losses = jax.lax.scan(body, state, (start2d, idx3d, keys))
         return state, jnp.mean(losses)
 
     return epoch_fn

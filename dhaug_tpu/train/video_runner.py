@@ -116,10 +116,13 @@ def _video_eval_batches(loader, batch_size: int, rf: int, bucket: int = 128):
 def video_mode_main(args, train_subjects: List[str]):
     import jax
 
+    import jax.numpy as jnp
+
     from dhaug_tpu.gan.video import build_video_gan, run_video_gan_epoch
     from dhaug_tpu.models.factory import init_posenet, make_posenet
-    from dhaug_tpu.train.posenet import (evaluate, make_posenet_eval_step,
-                                         make_posenet_train_step, train_epoch)
+    from dhaug_tpu.train.posenet import (evaluate, make_posenet_epoch_fn,
+                                         make_posenet_eval_step,
+                                         make_video_window_epoch_fn)
     from dhaug_tpu.train.runners import make_logger, make_run_dir
     from dhaug_tpu.train.state import (adam_posenet, lambda_lr, make_state,
                                        set_learning_rate)
@@ -145,7 +148,17 @@ def video_mode_main(args, train_subjects: List[str]):
     params, batch_stats = init_posenet(model, k_init, example)
     pos_tx = adam_posenet(args.lr_p, max_norm=1.0 if args.max_norm else 1e9)
     pos_state = make_state(pos_tx, params, batch_stats)
-    pos_step = make_posenet_train_step(model, pos_tx, criterion="mpjpe")
+    # scan-epoch programs: one dispatch per posenet pass
+    fake_epoch_fn = make_posenet_epoch_fn(
+        model, pos_tx, criterion="mpjpe", flip=args.flip_pos_model_input,
+        playback=args.GAN_video_playback_input)
+    real_epoch_fn = make_video_window_epoch_fn(
+        model, pos_tx, window=rf, criterion="mpjpe",
+        flip=args.flip_pos_model_input,
+        playback=args.Pos_video_playback_input)
+    # real train split: device-resident padded concatenations, once per run
+    dev_big2d = jnp.asarray(train_loader.big2d)
+    dev_big3d = jnp.asarray(train_loader.big3d)
     # evaluation uses the dilated twin with the training weights
     forward, flip_forward = make_posenet_eval_step(eval_model)
 
@@ -169,23 +182,36 @@ def video_mode_main(args, train_subjects: List[str]):
                        flip_forward=flip_forward)
         return h36m, dhp
 
-    def center_frame_batches(fakes, rng, batch_size):
-        """Fake clip batches: full-clip 2D input, centre-frame 3D target
-        (video_mode_PoseDataSet, video_GAN_fun.py:46-76)."""
+    def train_on_fakes(state, fakes, key):
+        """Fake clips: full-clip 2D input, centre-frame 3D target
+        (video_mode_PoseDataSet, video_GAN_fun.py:46-76) — one scan dispatch."""
         f3d, f2d, _ = fakes
         center = (rf - 1) // 2
         n = f3d.shape[0]
-        idx = rng.permutation(n)
-        stop = n - (n % batch_size)
-        for s in range(0, stop, batch_size):
-            sel = idx[s:s + batch_size]
-            yield f2d[sel], f3d[sel][:, center:center + 1]
+        n_b = n // args.batch_size
+        if n_b == 0:
+            return state
+        idx = jnp.asarray(np_rng.permutation(n)[: n_b * args.batch_size]
+                          .reshape(n_b, args.batch_size))
+        state, _ = fake_epoch_fn(state, jnp.asarray(f2d),
+                                 jnp.asarray(f3d[:, center:center + 1]),
+                                 idx, key)
+        return state
 
-    def real_batches(loader):
-        for _cam, w3d, w2d in loader.next_epoch():
-            if w3d.shape[0] < args.batch_size:
-                continue
-            yield w2d, w3d
+    def train_on_real(state, key):
+        """Real clips via on-device window gathers — one scan dispatch."""
+        n = train_loader.n_chunks
+        n_b = n // args.batch_size
+        if n_b == 0:
+            return state
+        order = np_rng.permutation(n)[: n_b * args.batch_size]
+        start2d = jnp.asarray(train_loader.start2d[order]
+                              .reshape(n_b, args.batch_size))
+        idx3d = jnp.asarray(train_loader.idx3d[order]
+                            .reshape(n_b, args.batch_size))
+        state, _ = real_epoch_fn(state, dev_big2d, dev_big3d, start2d,
+                                 idx3d, key)
+        return state
 
     dhpp1_best = s911p1_best = None
     lr_now = args.lr_p
@@ -222,22 +248,14 @@ def video_mode_main(args, train_subjects: List[str]):
         if train_now:
             if args.data_enhancement_method == "GAN" and fakes is not None:
                 key, k1 = jax.random.split(key)
-                pos_state, _ = train_epoch(
-                    pos_step, pos_state,
-                    center_frame_batches(fakes, np_rng, args.batch_size), k1,
-                    flip=args.flip_pos_model_input,
-                    playback=args.GAN_video_playback_input, video=True)
+                pos_state = train_on_fakes(pos_state, fakes, k1)
                 h36m, dhp = eval_both()
                 logger.append([summary.epoch, 0, h36m["p1"], h36m["p2"],
                                dhp["p1"], dhp["p2"], dhp["pck"], dhp["auc"]])
                 scores = {"h36m": h36m, "dhp": dhp}
 
             key, k2 = jax.random.split(key)
-            pos_state, _ = train_epoch(pos_step, pos_state,
-                                       real_batches(train_loader), k2,
-                                       flip=args.flip_pos_model_input,
-                                       playback=args.Pos_video_playback_input,
-                                       video=True)
+            pos_state = train_on_real(pos_state, k2)
             h36m, dhp = eval_both()
             scores = {"h36m": h36m, "dhp": dhp}
 
