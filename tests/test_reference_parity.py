@@ -1,0 +1,368 @@
+"""Execution-level parity: run the ACTUAL reference code (read-only, imported
+in place from /root/reference) side by side with dhaug_tpu and assert numeric
+agreement on random inputs.
+
+This closes round-1 VERDICT gap #2: previously all parity claims rested on a
+numpy oracle transcribed from the same SURVEY tables as the implementation —
+a shared transcription error would pass both.  Here the oracle is the
+reference itself:
+
+  * fk_world_pose       vs Forward_Kinematics_DH_Model.change_3d_joint_angle
+                           (numpy AND torch paths, forward_kinematics_DH_model.py:354)
+  * euler_xyz_rotation  vs rotationMatrix (forward_kinematics_DH_model.py:120)
+  * project_to_2d(_linear) vs common/camera.py:62,97
+  * world_to_camera / camera_to_world / qrot vs common/camera.py, common/quaternion.py
+  * mpjpe / p_mpjpe / PCK / AUC vs utils/loss.py:8,123,192,213
+  * kcs_features        vs special_KCS_Input_transform (Fk_discriminator.py:36)
+                           and video variant (:269)
+  * reskin_pose         vs the executed random_bl_aug math
+                           (function_aug/dataloader_update.py:18-41) on the REAL
+                           hm36s15678_bl_templates.npy asset
+  * blaugment9to15      vs utils/gan_utils.py:7-52
+  * generator           vs Fk_Generator.forward end-to-end with transplanted
+                           weights (Fk_generator.py:79-262)
+
+All tests skip when /root/reference is absent.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tests.ref_import import reference_available, load_reference, make_ref_args
+
+if not reference_available():  # pragma: no cover
+    pytest.skip("reference tree not available", allow_module_level=True)
+
+torch = pytest.importorskip("torch")
+
+from dhaug_tpu.ops import bones as bones_ops
+from dhaug_tpu.ops import camera as cam_ops
+from dhaug_tpu.ops import fk as fk_ops
+from dhaug_tpu.ops import metrics as metrics_ops
+from dhaug_tpu.ops import quaternion as quat_ops
+
+
+@pytest.fixture(scope="module")
+def ref():
+    return load_reference()
+
+
+def _rand_fk_inputs(rng, batch=None):
+    """Random, physically plausible FK inputs (degrees / metres)."""
+    shape = () if batch is None else (batch,)
+    angles = rng.uniform(-170.0, 170.0, shape + (33,)).astype(np.float32)
+    bone_len = rng.uniform(0.1, 0.7, shape + (15,)).astype(np.float32)
+    global_rot = rng.uniform(-180.0, 180.0, shape + (3,)).astype(np.float32)
+    root = rng.uniform(-2.0, 2.0, shape + (3,)).astype(np.float32)
+    return angles, bone_len, global_rot, root
+
+
+def _ref_fk_numpy(ref, angles, bone_len, global_rot, root):
+    """One sample through the reference numpy path."""
+    args = make_ref_args(batch_size=1)
+    model = ref.fk.Forward_Kinematics_DH_Model(args, [], None)
+    return model.change_3d_joint_angle(
+        list(angles[5:10].astype(np.float64)),     # left leg
+        list(angles[0:5].astype(np.float64)),      # right leg
+        list(angles[10:23].astype(np.float64)),    # body
+        list(angles[28:33].astype(np.float64)),    # left hand
+        list(angles[23:28].astype(np.float64)),    # right hand
+        global_rot.astype(np.float64),
+        *[float(b) for b in bone_len],
+        root.astype(np.float64),
+    )
+
+
+class TestFKParity:
+    def test_numpy_path_random_poses(self, ref):
+        rng = np.random.RandomState(0)
+        for trial in range(6):
+            angles, bone_len, global_rot, root = _rand_fk_inputs(rng)
+            expected = _ref_fk_numpy(ref, angles, bone_len, global_rot, root)
+            got = np.asarray(fk_ops.fk_world_pose(fk_ops.FKInputs(
+                jnp.asarray(angles), jnp.asarray(bone_len),
+                jnp.asarray(global_rot), jnp.asarray(root))))
+            np.testing.assert_allclose(got, expected, atol=1e-4)
+
+    def test_numpy_path_canonical_pose(self, ref):
+        zero = np.zeros(33, np.float32)
+        bl = np.asarray(fk_ops.CANONICAL_BONE_LEN, np.float32)
+        expected = _ref_fk_numpy(ref, zero, bl, np.zeros(3, np.float32),
+                                 np.zeros(3, np.float32))
+        got = np.asarray(fk_ops.init_fk_dh_angle())
+        np.testing.assert_allclose(got, expected, atol=1e-5)
+
+    def test_torch_path_batched(self, ref):
+        B = 8
+        rng = np.random.RandomState(1)
+        angles, bone_len, global_rot, root = _rand_fk_inputs(rng, batch=B)
+
+        args = make_ref_args(batch_size=B)
+        model = ref.fk.Forward_Kinematics_DH_Model(args, [], None)
+        t = lambda a: torch.from_numpy(np.ascontiguousarray(a))
+        with torch.no_grad():
+            expected = model.change_3d_joint_angle(
+                t(angles[:, 5:10]), t(angles[:, 0:5]), t(angles[:, 10:23]),
+                t(angles[:, 28:33]), t(angles[:, 23:28]), t(global_rot),
+                *[t(bone_len[:, i]) for i in range(15)],
+                t(root),
+            ).numpy()
+        got = np.asarray(fk_ops.fk_world_pose(fk_ops.FKInputs(
+            jnp.asarray(angles), jnp.asarray(bone_len),
+            jnp.asarray(global_rot), jnp.asarray(root))))
+        np.testing.assert_allclose(got, expected, atol=2e-4)
+
+    def test_rotation_matrix(self, ref):
+        rng = np.random.RandomState(2)
+        for _ in range(4):
+            a = rng.uniform(-180, 180, 3)
+            expected = ref.fk.rotationMatrix(a[0], a[1], a[2], make_ref_args())
+            got = np.asarray(fk_ops.euler_xyz_rotation(jnp.asarray(a, jnp.float32)))
+            np.testing.assert_allclose(got, expected, atol=1e-5)
+
+
+class TestCameraParity:
+    def _camera9(self, rng, n):
+        f = rng.uniform(1.9, 2.4, (n, 2))
+        c = rng.uniform(-0.05, 0.05, (n, 2))
+        k = rng.uniform(-0.3, 0.3, (n, 3))
+        p = rng.uniform(-0.01, 0.01, (n, 2))
+        return np.concatenate([f, c, k, p], axis=1).astype(np.float32)
+
+    def test_project_to_2d(self, ref):
+        rng = np.random.RandomState(3)
+        X = rng.uniform(-1, 1, (16, 16, 3)).astype(np.float32)
+        X[..., 2] += 4.0  # in front of the camera
+        cam = self._camera9(rng, 16)
+        with torch.no_grad():
+            expected = ref.camera.project_to_2d(
+                torch.from_numpy(X), torch.from_numpy(cam)).numpy()
+        got = np.asarray(cam_ops.project_to_2d(jnp.asarray(X), jnp.asarray(cam)))
+        np.testing.assert_allclose(got, expected, atol=1e-5)
+
+    def test_project_to_2d_clamped_divide(self, ref):
+        # points nearly behind the camera exercise the [-1, 1] clamp
+        rng = np.random.RandomState(4)
+        X = rng.uniform(-3, 3, (8, 16, 3)).astype(np.float32)
+        X[..., 2] = np.abs(X[..., 2]) + 0.05
+        cam = self._camera9(rng, 8)
+        with torch.no_grad():
+            expected = ref.camera.project_to_2d(
+                torch.from_numpy(X), torch.from_numpy(cam)).numpy()
+        got = np.asarray(cam_ops.project_to_2d(jnp.asarray(X), jnp.asarray(cam)))
+        np.testing.assert_allclose(got, expected, atol=1e-5)
+
+    def test_project_to_2d_linear(self, ref):
+        rng = np.random.RandomState(5)
+        X = rng.uniform(-1, 1, (4, 16, 3)).astype(np.float32)
+        X[..., 2] += 4.0
+        cam = self._camera9(rng, 4)
+        with torch.no_grad():
+            expected = ref.camera.project_to_2d_linear(
+                torch.from_numpy(X), torch.from_numpy(cam)).numpy()
+        got = np.asarray(cam_ops.project_to_2d_linear(jnp.asarray(X), jnp.asarray(cam)))
+        np.testing.assert_allclose(got, expected, atol=1e-5)
+
+    def test_qrot(self, ref):
+        rng = np.random.RandomState(6)
+        q = rng.normal(size=(32, 4)).astype(np.float32)
+        q /= np.linalg.norm(q, axis=-1, keepdims=True)
+        v = rng.normal(size=(32, 3)).astype(np.float32)
+        with torch.no_grad():
+            expected = ref.quaternion.qrot(torch.from_numpy(q), torch.from_numpy(v)).numpy()
+        got = np.asarray(quat_ops.qrot(jnp.asarray(q), jnp.asarray(v)))
+        np.testing.assert_allclose(got, expected, atol=1e-5)
+
+    def test_world_to_camera_and_back(self, ref):
+        rng = np.random.RandomState(7)
+        X = rng.normal(size=(5, 16, 3)).astype(np.float32)
+        q = rng.normal(size=(4,)).astype(np.float32)
+        q /= np.linalg.norm(q)
+        t = rng.normal(size=(3,)).astype(np.float32)
+        expected_cam = ref.camera.world_to_camera(X, R=q, t=t)
+        got_cam = np.asarray(cam_ops.world_to_camera(jnp.asarray(X), jnp.asarray(q), jnp.asarray(t)))
+        np.testing.assert_allclose(got_cam, expected_cam, atol=1e-5)
+        expected_world = ref.camera.camera_to_world(expected_cam, R=q, t=t)
+        got_world = np.asarray(cam_ops.camera_to_world(jnp.asarray(got_cam), jnp.asarray(q), jnp.asarray(t)))
+        np.testing.assert_allclose(got_world, expected_world, atol=1e-5)
+
+    def test_normalize_screen_coordinates(self, ref):
+        rng = np.random.RandomState(8)
+        pts = rng.uniform(0, 1000, (7, 16, 2)).astype(np.float32)
+        # the reference mutates its input in place — feed it a copy
+        expected = ref.camera.normalize_screen_coordinates(pts.copy(), w=1000, h=1002)
+        got = np.asarray(cam_ops.normalize_screen_coordinates(jnp.asarray(pts), 1000, 1002))
+        np.testing.assert_allclose(got, expected, atol=1e-5)
+
+
+class TestMetricParity:
+    def test_mpjpe(self, ref):
+        rng = np.random.RandomState(9)
+        a = rng.normal(size=(64, 16, 3)).astype(np.float32)
+        b = rng.normal(size=(64, 16, 3)).astype(np.float32)
+        with torch.no_grad():
+            expected = ref.loss.mpjpe(torch.from_numpy(a), torch.from_numpy(b)).item()
+        got = float(metrics_ops.mpjpe(jnp.asarray(a), jnp.asarray(b)))
+        assert abs(got - expected) < 1e-5
+
+    def test_p_mpjpe(self, ref):
+        rng = np.random.RandomState(10)
+        target = rng.normal(size=(32, 16, 3)).astype(np.float32)
+        pred = target + 0.1 * rng.normal(size=target.shape).astype(np.float32)
+        expected = ref.loss.p_mpjpe(pred.copy(), target.copy())
+        got = float(metrics_ops.p_mpjpe(jnp.asarray(pred), jnp.asarray(target)))
+        assert abs(got - expected) < 1e-5
+
+    def test_pck_auc(self, ref):
+        rng = np.random.RandomState(11)
+        gts = rng.normal(size=(40, 16, 3)).astype(np.float32)
+        preds = gts + rng.normal(scale=0.08, size=gts.shape).astype(np.float32)
+        expected_pck = ref.loss.compute_PCK(gts, preds)
+        got_pck = float(metrics_ops.compute_pck(jnp.asarray(gts), jnp.asarray(preds)))
+        assert abs(got_pck - expected_pck) < 1e-3
+        expected_auc = ref.loss.compute_AUC(gts, preds)
+        got_auc = float(metrics_ops.compute_auc(jnp.asarray(gts), jnp.asarray(preds)))
+        assert abs(got_auc - expected_auc) < 1e-3
+
+
+class TestBoneParity:
+    def test_kcs_30(self, ref):
+        rng = np.random.RandomState(12)
+        pose = rng.normal(size=(16, 16, 3)).astype(np.float32)
+        with torch.no_grad():
+            expected = ref.disc.special_KCS_Input_transform(
+                torch.from_numpy(pose), torch.device("cpu")).numpy()
+        got = np.asarray(bones_ops.kcs_features(jnp.asarray(pose), with_lengths=True))
+        np.testing.assert_allclose(got, expected, atol=1e-4)
+
+    def test_kcs_video_15(self, ref):
+        rng = np.random.RandomState(13)
+        pose = rng.normal(size=(16, 16, 3)).astype(np.float32)
+        with torch.no_grad():
+            expected = ref.disc.video_mode_special_KCS_Input_transform(
+                torch.from_numpy(pose), torch.device("cpu")).numpy()
+        got = np.asarray(bones_ops.kcs_features(jnp.asarray(pose), with_lengths=False))
+        np.testing.assert_allclose(got, expected, atol=1e-4)
+
+    def test_fk_bone_lengths(self, ref):
+        rng = np.random.RandomState(14)
+        pose = rng.normal(size=(8, 16, 3)).astype(np.float32)
+        with torch.no_grad():
+            vecs = ref.gen.Fk_get_boneVecByPose3d(torch.from_numpy(pose))
+            expected = torch.sqrt(torch.sum(vecs ** 2, dim=-1)).numpy()
+        got = np.asarray(bones_ops.bone_lengths_fk(jnp.asarray(pose)))
+        np.testing.assert_allclose(got, expected, atol=1e-5)
+
+    def test_reskin_against_reference_on_real_templates(self, ref):
+        """reskin_pose == the executed random_bl_aug math on the REAL
+        hm36s15678_bl_templates.npy asset (round-1 VERDICT gap #3)."""
+        import os
+        asset = os.path.join(ref.root, "data_extra/bone_length_npy/hm36s15678_bl_templates.npy")
+        if not os.path.exists(asset):
+            pytest.skip("real bone template asset not present")
+        templates = np.load(asset).astype(np.float32)  # (5, 15), tree order
+        assert templates.shape[1] == 15
+
+        rng = np.random.RandomState(15)
+        B = 12
+        pose = rng.normal(size=(B, 16, 3)).astype(np.float32)
+        pose += rng.uniform(-1, 1, (B, 1, 3)).astype(np.float32)  # non-zero root
+        idx = rng.choice(templates.shape[0], B)
+        new_len = templates[idx]  # (B, 15)
+
+        # Reference math (function_aug/dataloader_update.py:26-41), executed:
+        with torch.no_grad():
+            x = torch.from_numpy(pose.copy())
+            root = x[:, :1, :] * 1.0
+            x = x - x[:, :1, :]
+            unit = ref.gan_utils.get_bone_unit_vecbypose3d(x)
+            modified = unit * torch.from_numpy(new_len).unsqueeze(2)
+            expected = (ref.gan_utils.get_pose3dbyBoneVec(modified) + root).numpy()
+
+        got = np.asarray(bones_ops.reskin_pose(jnp.asarray(pose), jnp.asarray(new_len)))
+        np.testing.assert_allclose(got, expected, atol=1e-5)
+
+        # and the re-skinned pose really carries the template lengths
+        rel = got - got[:, :1]
+        lens = np.asarray(bones_ops.bone_lengths(bones_ops.bone_vectors_tree(jnp.asarray(rel))))
+        np.testing.assert_allclose(lens, new_len, atol=1e-5)
+
+    def test_blaugment9to15(self, ref):
+        rng = np.random.RandomState(16)
+        B = 10
+        pose = rng.normal(size=(B, 16, 3)).astype(np.float32)
+        with torch.no_grad():
+            bl = ref.gan_utils.get_bone_lengthbypose3d(torch.from_numpy(pose.copy()))
+            blr = torch.from_numpy(rng.uniform(-0.2, 0.2, (B, 9, 1)).astype(np.float32))
+            expected = ref.gan_utils.blaugment9to15(
+                torch.from_numpy(pose.copy()), bl, blr).numpy()
+        got = np.asarray(bones_ops.blaugment9to15(
+            jnp.asarray(pose), jnp.asarray(bl.numpy()[..., 0]),
+            jnp.asarray(blr.numpy()[..., 0])))
+        np.testing.assert_allclose(got, expected, atol=1e-5)
+
+
+class TestGeneratorParity:
+    """End-to-end Fk_Generator.forward vs FkGeneratorNet + synthesize_poses
+    with transplanted weights — covers the 31->37 angle scatter, the
+    preAngle range rescale, tanh/x10 root, and the FK call as one unit
+    (Fk_generator.py:114-262)."""
+
+    def _ref_generator(self, ref, B, dense_dim):
+        import types
+        args = make_ref_args(batch_size=B)
+        args.GAN_OUTPUT_DIM = 35
+        args.Gen_DenseDim = dense_dim
+        args.GAN_whether_use_preAngle = True
+        args.whether_use_RT = True
+        args.bone_len_scaler = ""
+        fk_class = ref.fk.Forward_Kinematics_DH_Model(args, [], None)
+        gen = ref.gen.Fk_Generator(fk_class, args, torch.device("cpu"))
+        gen.train_num = 1  # dodge the %500==1 heatmap dump side effect
+        gen.eval()
+        return gen
+
+    def test_forward_parity_with_transplanted_weights(self, ref):
+        from dhaug_tpu.models.generator import (FkGeneratorNet, GeneratorConfig,
+                                                synthesize_poses)
+        B, D = 8, 64
+        rng = np.random.RandomState(17)
+        gen = self._ref_generator(ref, B, D)
+
+        cfg = GeneratorConfig(dense_dim=D, use_pre_angle=True,
+                              use_global_rot=True, video_frames=1)
+        net = FkGeneratorNet(cfg)
+        noise = rng.normal(size=(B, 128)).astype(np.float32)
+        params = net.init(jax.random.PRNGKey(0), jnp.asarray(noise))
+
+        # transplant torch weights -> flax (flax kernels are torch weights^T)
+        p = params["params"]
+        mapping = [
+            (gen.preprocess[0], p["DensePrelude_0"]["Dense_0"]),
+            (gen.block1.fc1, p["DenseResBlock_0"]["Dense_0"]),
+            (gen.block1.fc2, p["DenseResBlock_0"]["Dense_1"]),
+            (gen.block2.fc1, p["DenseResBlock_1"]["Dense_0"]),
+            (gen.block2.fc2, p["DenseResBlock_1"]["Dense_1"]),
+            (gen.block3.fc1, p["DenseResBlock_2"]["Dense_0"]),
+            (gen.block3.fc2, p["DenseResBlock_2"]["Dense_1"]),
+            (gen.deconv_out, p["Dense_0"]),
+        ]
+        for lin, leaf in mapping:
+            leaf["kernel"] = jnp.asarray(lin.weight.detach().numpy().T)
+            leaf["bias"] = jnp.asarray(lin.bias.detach().numpy())
+
+        # real batch bone lengths (FK order) harvested identically both sides
+        real = rng.normal(size=(B, 16, 3)).astype(np.float32)
+        with torch.no_grad():
+            gen.GAN_generator_get_bone_length(torch.from_numpy(real))
+            expected = gen(torch.from_numpy(noise)).numpy().reshape(B, 16, 3)
+
+        bone_len = bones_ops.bone_lengths_fk(jnp.asarray(real))
+        head = net.apply(params, jnp.asarray(noise))
+        got = np.asarray(synthesize_poses(
+            head, bone_len, jnp.zeros((B, 8), jnp.float32), cfg))
+        np.testing.assert_allclose(got, expected, atol=2e-4)
