@@ -16,13 +16,17 @@ regardless of work, so the bench amortizes it the way bulk synthesis does:
 SCAN_STEPS large batches per dispatch via lax.scan.  The reported value is
 the median over ITERS dispatches.
 
-Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "poses/s", "vs_baseline": N}
+Prints TWO JSON lines (the driver records the LAST):
+  {"metric": "GAN training iterations/s ...", "value": N, "unit": "iters/s",
+   "vs_baseline": N, "mfu_est": F, "ms_per_iter": T}
+  {"metric": "augmented poses/sec/chip ...", "value": N, "unit": "poses/s",
+   "vs_baseline": N}
 
 vs_baseline compares against the reference-style PyTorch implementation of
 the same pipeline measured on this machine's CPU
-(scripts/bench_reference_torch.py: 7167.7 poses/s; the reference repo is
-single-GPU PyTorch and publishes no throughput numbers — SURVEY.md §6).
+(scripts/bench_reference_torch.py: 7167.7 poses/s synthesis; 0.107 iters/s
+for the full WGAN-GP training iteration with --mode gan_iter; the reference
+repo is single-GPU PyTorch and publishes no throughput numbers — SURVEY.md §6).
 """
 from __future__ import annotations
 
@@ -31,13 +35,23 @@ import os
 import statistics
 import time
 
-# Same-machine torch-CPU reference measurement (scripts/bench_reference_torch.py).
+# Same-machine torch-CPU reference measurements (scripts/bench_reference_torch.py).
 TORCH_REFERENCE_POSES_PER_SEC = 7167.7
+TORCH_REFERENCE_GAN_ITERS_PER_SEC = 0.107   # --mode gan_iter, batch 1024
 
 BATCH = 65536      # bulk-synthesis batch per scan step
 SCAN_STEPS = 8     # batches per dispatch (amortizes the ~30 ms sync latency)
 DENSE = 1000
 ITERS = 5
+
+GAN_BATCH = 1024   # production batch (README.md:99)
+GAN_SCAN = 20      # GAN iterations per dispatch (one mini scan-epoch)
+GAN_ITERS = 3      # timed dispatches
+
+# Peak MXU throughput for MFU estimation.  TPU v5e: 197 TFLOP/s bf16-mult /
+# fp32-accumulate (the default precision the trunk matmuls run at).
+# Override with TPU_PEAK_FLOPS for other chips.
+PEAK_FLOPS = float(os.environ.get("TPU_PEAK_FLOPS", 197e12))
 
 
 def main():
@@ -98,6 +112,8 @@ def main():
     per_call = statistics.median(times)
 
     pps = BATCH * SCAN_STEPS / per_call
+    gan = bench_gan_training(on_tpu)
+    print(json.dumps(gan))
     result = {
         "metric": "augmented poses/sec/chip (FK-GAN sampling)",
         "value": round(pps, 1),
@@ -106,6 +122,104 @@ def main():
     }
     print(json.dumps(result))
     return result
+
+
+def _gan_iter_flops(B: int, dense: int) -> float:
+    """Analytic matmul-FLOP count of one GAN training iteration at the
+    production shapes (critic updates with WGAN-GP every iteration + 1/5 of a
+    generator update).  Deliberately an UNDERCOUNT (dense layers only; FK,
+    projection and elementwise work ignored), so the reported MFU is a lower
+    bound.
+
+    Per critic update we count fwd passes on real, fake and the GP
+    interpolates (3 fwd), the loss backward (~2x fwd) and the GP
+    double-backward (~2x the GP branch) => ~9 fwd-equivalents; with flip
+    enabled every critic updates twice.  The generator trunk runs once for
+    the critic-phase fakes (no grad) and, on every 5th iteration, fwd+bwd
+    (3x) plus critic forwards for the adversarial scores."""
+    def tower_fwd(in_dim, d, out_dim):
+        return 2.0 * B * (in_dim * d + 6 * d * d + d * out_dim)
+
+    gen_fwd = tower_fwd(128, dense, 35)
+    d3d_fwd = tower_fwd(30, dense, 1) + tower_fwd(48, dense, 1) + \
+        2.0 * B * (2 * dense * 100 + 100 * 1)   # KCS + pose branches + merge
+    d2d_fwd = tower_fwd(32, dense, 1)
+
+    critic_updates = 2 * 2  # 3D + 2D, each doubled by flip
+    per_critic = 9.0 * (d3d_fwd + d2d_fwd) / 2.0  # average the two critics
+    gen_synth = gen_fwd                       # critic-phase fakes, no grad
+    gen_update = (3.0 * gen_fwd + 2.0 * (d3d_fwd + d2d_fwd)) / 5.0
+    return critic_updates * per_critic + gen_synth + gen_update
+
+
+def bench_gan_training(on_tpu: bool):
+    """Pipelined WGAN-GP training throughput: GAN_SCAN iterations of the
+    production epoch program (critics every iteration with gradient penalty
+    and flip duplication, generator every 5th) as one dispatch."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dhaug_tpu.gan.wgan import GanHyper, camera_bank, make_single_frame_steps
+    from dhaug_tpu.models.discriminators import (Fk2DDiscriminator,
+                                                 Fk3DDiscriminator)
+    from dhaug_tpu.models.generator import FkGeneratorNet, GeneratorConfig
+    from dhaug_tpu.train.state import adam_gan, make_state
+
+    B = GAN_BATCH
+    key = jax.random.PRNGKey(0)
+    gen_cfg = GeneratorConfig(dense_dim=DENSE)
+    hyper = GanHyper(flip=True, use_pallas_fk=on_tpu)
+    gen = FkGeneratorNet(gen_cfg)
+    d3d = Fk3DDiscriminator(dense_dim=DENSE)
+    d2d = Fk2DDiscriminator(dense_dim=DENSE)
+    gp = gen.init(key, jnp.zeros((2, 128)))["params"]
+    p3 = d3d.init(key, jnp.zeros((2, 16, 3)))["params"]
+    p2 = d2d.init(key, jnp.zeros((2, 16, 2)))["params"]
+    txs = [adam_gan() for _ in range(3)]
+    quats, trans, intrs = camera_bank(["S1", "S5", "S6", "S7", "S8"])
+    steps = make_single_frame_steps(
+        lambda p, x: gen.apply({"params": p}, x),
+        lambda p, x: d3d.apply({"params": p}, x),
+        lambda p, x: d2d.apply({"params": p}, x),
+        txs[0], txs[1], txs[2], gen_cfg, hyper, quats, trans, intrs)
+
+    rng = np.random.default_rng(0)
+    N = GAN_SCAN * B
+    dev3d = jnp.asarray(rng.normal(size=(N, 16, 3)).astype(np.float32) * 0.3)
+    devcam = jnp.asarray(np.concatenate(
+        [np.tile(np.asarray(intrs[0])[None], (N, 1)),
+         np.tile(np.asarray(quats[0])[None], (N, 1)),
+         np.tile(np.asarray(trans[0])[None], (N, 1))], axis=1))
+    devt2d = jnp.asarray(rng.normal(size=(N, 16, 2)).astype(np.float32) * 0.3)
+    idx = jnp.asarray(np.arange(N).reshape(GAN_SCAN, B))
+
+    def run(k):
+        g = make_state(txs[0], gp)
+        s3 = make_state(txs[1], p3)
+        s2 = make_state(txs[2], p2)
+        out = steps.epoch_step(g, s3, s2, dev3d, devcam, devt2d, idx, idx,
+                               jnp.asarray(0, jnp.int32), k)
+        # scalar fetch = the only true sync in this environment
+        return float(out[3][3]["3d_wasserstein"].mean())
+
+    run(jax.random.PRNGKey(1))  # warmup / compile
+    times = []
+    for i in range(GAN_ITERS):
+        t0 = time.perf_counter()
+        run(jax.random.PRNGKey(2 + i))
+        times.append(time.perf_counter() - t0)
+    per_iter = statistics.median(times) / GAN_SCAN
+    ips = 1.0 / per_iter
+    mfu = _gan_iter_flops(B, DENSE) * ips / PEAK_FLOPS
+    return {
+        "metric": "GAN training iterations/s (pipelined critics+GP+gen, batch 1024)",
+        "value": round(ips, 2),
+        "unit": "iters/s",
+        "vs_baseline": round(ips / TORCH_REFERENCE_GAN_ITERS_PER_SEC, 2),
+        "ms_per_iter": round(per_iter * 1000.0, 3),
+        "mfu_est": round(mfu, 6),
+    }
 
 
 if __name__ == "__main__":

@@ -85,12 +85,17 @@ def build_gan(args, train_subjects, key) -> GanBundle:
         use_global_rot=args.whether_use_RT,
         video_frames=1,
     )
+    from dhaug_tpu.ops.fk_pallas import fk_pallas_supported
     hyper = GanHyper(
         lambda_gp=float(args.GAN_LAMBDA),
         w3d=args.GAN_3d_loss_weight,
         w2d=args.GAN_2d_loss_weight,
         flip=args.flip_GAN_model_input,
         bone_len_scaler=args.bone_len_scaler,
+        # fused FK on the stop_gradient critic fakes: TPU only, and not under
+        # a GSPMD data mesh (pallas_call doesn't auto-partition)
+        use_pallas_fk=(fk_pallas_supported()
+                       and int(getattr(args, "data_parallel_devices", 0) or 0) <= 1),
     )
 
     gen = FkGeneratorNet(gen_cfg)
@@ -137,10 +142,17 @@ def dump_angle_heatmap(gan: GanBundle, key, path: str, batch: int = 512):
 def run_gan_epoch(gan: GanBundle, gt2d3d: PoseDataset, target_2d: PoseTarget,
                   target_3d: PoseTarget, batch_size: int,
                   np_rng: np.random.Generator, key, summary,
-                  writer=None, record_dir: Optional[str] = None
-                  ) -> tuple[GanBundle, Optional[PoseDataset]]:
+                  writer=None, record_dir: Optional[str] = None,
+                  mesh=None) -> tuple[GanBundle, Optional[PoseDataset]]:
     """One GAN pass over the epoch's batches.  Returns the updated states and
-    the fake (cam-3D, 2D, intrinsics) dataset for posenet co-training."""
+    the fake (cam-3D, 2D, intrinsics) dataset for posenet co-training.
+
+    ``mesh`` (from --data_parallel_devices) runs the SAME compiled epoch
+    program data-parallel: epoch arrays and net states are replicated, the
+    per-iteration index rows are sharded over the mesh's 'data' axis, so each
+    scan step's gathered batch lands sharded and GSPMD inserts the gradient
+    all-reduces over ICI.  Metrics match the single-device run to reduction
+    order (tests/test_parallel.py asserts rtol 1e-4)."""
     steps = gan.steps
 
     # Device-resident epoch data: upload once; the WHOLE epoch (critic
@@ -163,12 +175,22 @@ def run_gan_epoch(gan: GanBundle, gt2d3d: PoseDataset, target_2d: PoseTarget,
     idx_real = jnp.asarray(idx_real.reshape(n_batches, batch_size))
     idx_t2d = jnp.asarray(idx_t2d.reshape(n_batches, batch_size))
 
+    gen_in, d3d_in, d2d_in = gan.gen_state, gan.d3d_state, gan.d2d_state
+    if mesh is not None:
+        from dhaug_tpu.parallel.mesh import replicate, shard_index_rows
+        dev_3d, dev_cam, dev_t2d = (replicate(mesh, x)
+                                    for x in (dev_3d, dev_cam, dev_t2d))
+        idx_real = shard_index_rows(mesh, idx_real)
+        idx_t2d = shard_index_rows(mesh, idx_t2d)
+        gen_in, d3d_in, d2d_in = (replicate(mesh, s)
+                                  for s in (gen_in, d3d_in, d2d_in))
+
     key, k_epoch = jax.random.split(key)
     gen_state, d3d_state, d2d_state, outs = steps.epoch_step(
-        gan.gen_state, gan.d3d_state, gan.d2d_state,
+        gen_in, d3d_in, d2d_in,
         dev_3d, dev_cam, dev_t2d, idx_real, idx_t2d,
         jnp.asarray(summary.train_iter_num, jnp.int32), k_epoch)
-    fake3d, fake2d, intr, w3d, w2d, c3d, c2d, g_cost = outs
+    fake3d, fake2d, intr, scalars = outs
 
     gen_steps = sum(1 for b in range(n_batches)
                     if (summary.train_iter_num + b) % 5 == 4)
@@ -178,17 +200,25 @@ def run_gan_epoch(gan: GanBundle, gt2d3d: PoseDataset, target_2d: PoseTarget,
     summary.train_iter_num += n_batches
 
     if writer is not None:
-        # stacked per-iteration metrics, one host fetch for all of them
-        w3d, w2d, c3d, c2d, g_cost = (
-            np.asarray(x) for x in (w3d, w2d, c3d, c2d, g_cost))
+        # stacked per-iteration metrics, one host fetch for all of them; tag
+        # names follow the reference's writer names
+        # (model_fk_gan_train.py:225-228: Fk_d3d/Fk_d2d _D_real/_D_fake/
+        # _Wasserstein_D under train_G_iter_PoseFk/)
+        scalars = {k: np.asarray(v) for k, v in scalars.items()}
+        tag_of = {"3d_d_real": "Fk_d3d_D_real", "3d_d_fake": "Fk_d3d_D_fake",
+                  "3d_wasserstein": "Fk_d3d_Wasserstein_D",
+                  "3d_d_cost": "Fk_d3d_D_cost",
+                  "2d_d_real": "Fk_d2d_D_real", "2d_d_fake": "Fk_d2d_D_fake",
+                  "2d_wasserstein": "Fk_d2d_Wasserstein_D",
+                  "2d_d_cost": "Fk_d2d_D_cost"}
         for b in range(0, n_batches, 50):
             it = iter_base + b
-            writer.add_scalar("train_G_iter_PoseFk/3d_wasserstein", float(w3d[b]), it)
-            writer.add_scalar("train_G_iter_PoseFk/2d_wasserstein", float(w2d[b]), it)
-            writer.add_scalar("train_G_iter_PoseFk/3d_d_cost", float(c3d[b]), it)
-            writer.add_scalar("train_G_iter_PoseFk/2d_d_cost", float(c2d[b]), it)
+            for k2, tag in tag_of.items():
+                writer.add_scalar(f"train_G_iter_PoseFk/{tag}",
+                                  float(scalars[k2][b]), it)
         # G_cost exists only on the every-5th generator iterations (NaN
         # elsewhere) — log every 10th real update, as the old loop did
+        g_cost = scalars["g_cost"]
         gen_its = np.where(~np.isnan(g_cost))[0]
         for b in gen_its[::10]:
             writer.add_scalar("train_G_iter_PoseFk/G_cost",
@@ -207,6 +237,15 @@ def run_gan_epoch(gan: GanBundle, gt2d3d: PoseDataset, target_2d: PoseTarget,
             gan, key,
             os.path.join(record_dir,
                          f"34DOF_3GlobalRot_heatmap_{iter_base + 1}.jpg"))
+
+    # epoch-mean critic scalars for the caller's Wasserstein curve
+    summary.record_epoch_scalars({
+        "3d_wasserstein": float(np.nanmean(np.asarray(
+            outs[3]["3d_wasserstein"]))),
+        "2d_wasserstein": float(np.nanmean(np.asarray(
+            outs[3]["2d_wasserstein"]))),
+        "g_cost": float(np.nanmean(np.asarray(outs[3]["g_cost"]))),
+    })
 
     # fake buffers stay DEVICE-resident: the posenet phase consumes them with
     # on-device gathers, so no host round trip of ~50 MB per epoch

@@ -69,12 +69,15 @@ def build_video_gan(args, train_subjects, video_frames: int, key) -> VideoGanBun
         dense_dim=args.Gen_DenseDim, output_dim=args.GAN_OUTPUT_DIM,
         use_pre_angle=args.GAN_whether_use_preAngle,
         use_global_rot=args.whether_use_RT, video_frames=video_frames)
+    from dhaug_tpu.ops.fk_pallas import fk_pallas_supported
     hyper = GanHyper(
         lambda_gp=float(args.GAN_LAMBDA), w3d=args.GAN_3d_loss_weight,
         w2d=args.GAN_2d_loss_weight,
         w3d_motion=args.GAN_3d_motion_loss_weight,
         w2d_motion=args.GAN_2d_motion_loss_weight,
-        flip=args.flip_GAN_model_input, bone_len_scaler=args.bone_len_scaler)
+        flip=args.flip_GAN_model_input, bone_len_scaler=args.bone_len_scaler,
+        use_pallas_fk=(fk_pallas_supported()
+                       and int(getattr(args, "data_parallel_devices", 0) or 0) <= 1))
 
     gen = FkGeneratorNet(gen_cfg)
     d3d = Fk3DDiscriminator(dense_dim=args.Dis_DenseDim_3D)
@@ -113,13 +116,14 @@ def build_video_gan(args, train_subjects, video_frames: int, key) -> VideoGanBun
     playback = bool(args.GAN_video_playback_input)
     flip = hyper.flip
 
-    def synth_fake(gen_params, bone_len, key):
+    def synth_fake(gen_params, bone_len, key, use_pallas: bool = False):
         B = bone_len.shape[0]
         k_n, k_s = jax.random.split(key)
         noise = jax.random.normal(k_n, (B, 128))
         head = gen_apply(gen_params, noise)
         scaler = sample_scaler8(k_s, B, hyper.bone_len_scaler)
-        return synthesize_poses(head, bone_len, scaler, gen_cfg)  # (B,F,16,3)
+        return synthesize_poses(head, bone_len, scaler, gen_cfg,
+                                use_pallas=use_pallas)  # (B,F,16,3)
 
     @functools.partial(jax.jit, static_argnames=("use_motion",))
     def critics_step(d3d_state, d2d_state, md3d_state, md2d_state, gen_params,
@@ -141,7 +145,8 @@ def build_video_gan(args, train_subjects, video_frames: int, key) -> VideoGanBun
         real_rel = (real_world - real_world[:, :1]).reshape((B, F, 16, 3))
 
         fake_world = jax.lax.stop_gradient(
-            synth_fake(gen_params, bone_len[:, 0], keys[0]))   # (B,F,16,3)
+            synth_fake(gen_params, bone_len[:, 0], keys[0],
+                       use_pallas=hyper.use_pallas_fk))        # (B,F,16,3)
         fake_root = fake_world[:, :, :1]
         fake_rel = fake_world - fake_root
 
@@ -306,12 +311,20 @@ def build_video_gan(args, train_subjects, video_frames: int, key) -> VideoGanBun
 
             gen_s, g_cost = jax.lax.cond(
                 it % 5 == 4, do_gen, lambda gs: (gs, jnp.nan), gen_s)
-            scalars = {"3d_wasserstein": metrics["3d_wasserstein"],
-                       "2d_wasserstein": metrics["2d_wasserstein"],
+            # stacked per-iteration scalars, keyed by the reference's writer
+            # names (video_GAN_fun.py writer_name= values)
+            scalars = {"Fk_d3d_Wasserstein_D": metrics["3d_wasserstein"],
+                       "Fk_d3d_D_real": metrics["3d_d_real"],
+                       "Fk_d3d_D_fake": metrics["3d_d_fake"],
+                       "d2d_Wasserstein_D": metrics["2d_wasserstein"],
+                       "d2d_D_real": metrics["2d_d_real"],
+                       "d2d_D_fake": metrics["2d_d_fake"],
                        "G_cost": g_cost}
             if use_motion:
-                scalars["motion_3d_wasserstein"] = metrics["motion_3d_wasserstein"]
-                scalars["motion_2d_wasserstein"] = metrics["motion_2d_wasserstein"]
+                scalars["motion_Fk_d3d_Wasserstein_D"] = \
+                    metrics["motion_3d_wasserstein"]
+                scalars["motion_d2d_Wasserstein_D"] = \
+                    metrics["motion_2d_wasserstein"]
             outs = (fake_cam3d, fake_2d, intr, scalars)
             return (gen_s, d3, d2, md3, md2, it + 1), outs
 
@@ -335,18 +348,21 @@ def build_video_gan(args, train_subjects, video_frames: int, key) -> VideoGanBun
 
 
 def run_video_gan_epoch(gan: VideoGanBundle, gan_loader, batch_size: int,
-                        key, summary, use_motion: bool, writer=None):
+                        key, summary, use_motion: bool, writer=None,
+                        mesh=None):
     """One pass over the GAN clip loader.  Returns (gan, fake clip arrays:
     (N, F, 16, 3) cam-space, (N, F, 16, 2), (N, F, 9)).
 
     When the loader is a full-window ChunkWindows, the whole epoch runs as
     one compiled scan program with on-device window gathering; otherwise a
-    per-batch dispatch loop is used."""
+    per-batch dispatch loop is used.  ``mesh`` (--data_parallel_devices)
+    shards the scan path's per-iteration batch over 'data'."""
     steps = gan.steps
 
     if getattr(gan_loader, "full_3d_window", False):
         return _run_video_gan_epoch_scan(gan, gan_loader, batch_size, key,
-                                         summary, use_motion, writer)
+                                         summary, use_motion, writer,
+                                         mesh=mesh)
 
     gen_state = gan.gen_state
     d3d_state, d2d_state = gan.d3d_state, gan.d2d_state
@@ -380,7 +396,8 @@ def run_video_gan_epoch(gan: VideoGanBundle, gan_loader, batch_size: int,
 
         if writer is not None and summary.train_iter_num % 50 == 0:
             for tag, v in metrics.items():
-                if tag.endswith("wasserstein"):
+                if tag.endswith("wasserstein") or tag.endswith("d_real") \
+                        or tag.endswith("d_fake"):
                     writer.add_scalar(f"train_G_iter_PoseFk/{tag}", float(v),
                                       summary.train_iter_num)
 
@@ -401,7 +418,8 @@ def run_video_gan_epoch(gan: VideoGanBundle, gan_loader, batch_size: int,
 
 
 def _run_video_gan_epoch_scan(gan: VideoGanBundle, loader, batch_size: int,
-                              key, summary, use_motion: bool, writer=None):
+                              key, summary, use_motion: bool, writer=None,
+                              mesh=None):
     """Single-dispatch video GAN epoch over a full-window ChunkWindows."""
     steps = gan.steps
     n_batches = loader.n_chunks // batch_size
@@ -416,10 +434,19 @@ def _run_video_gan_epoch_scan(gan: VideoGanBundle, loader, batch_size: int,
     start2d = jnp.asarray(loader.start2d[order].reshape(n_batches, batch_size))
     cam_sel = jnp.asarray(order.reshape(n_batches, batch_size))
 
+    states_in = (gan.gen_state, gan.d3d_state, gan.d2d_state,
+                 gan.md3d_state, gan.md2d_state)
+    if mesh is not None:
+        from dhaug_tpu.parallel.mesh import replicate, shard_index_rows
+        big3d, big2d, cams = (replicate(mesh, x) for x in (big3d, big2d, cams))
+        start3d = shard_index_rows(mesh, start3d)
+        start2d = shard_index_rows(mesh, start2d)
+        cam_sel = shard_index_rows(mesh, cam_sel)
+        states_in = tuple(replicate(mesh, s) for s in states_in)
+
     key, k_epoch = jax.random.split(key)
     (gen_state, d3d_state, d2d_state, md3d_state, md2d_state, outs) = \
-        steps.epoch_step(gan.gen_state, gan.d3d_state, gan.d2d_state,
-                         gan.md3d_state, gan.md2d_state,
+        steps.epoch_step(*states_in,
                          big3d, big2d, cams, start3d, start2d, cam_sel,
                          jnp.asarray(summary.train_iter_num, jnp.int32),
                          k_epoch, use_motion=use_motion)
@@ -432,8 +459,10 @@ def _run_video_gan_epoch_scan(gan: VideoGanBundle, loader, batch_size: int,
     summary.train_fakepose_iter_num += gen_steps
     summary.train_iter_num += n_batches
 
+    scalars = {k: np.asarray(v) for k, v in scalars.items()}
+    summary.record_epoch_scalars(
+        {k: float(np.nanmean(v)) for k, v in scalars.items()})
     if writer is not None:
-        scalars = {k: np.asarray(v) for k, v in scalars.items()}
         for tag, vals in scalars.items():
             if tag == "G_cost":
                 gen_its = np.where(~np.isnan(vals))[0]

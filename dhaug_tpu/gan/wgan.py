@@ -50,6 +50,12 @@ class GanHyper(NamedTuple):
     flip: bool = True               # --flip_GAN_model_input
     bone_len_scaler: str = "different"
     noise_dim: int = 128
+    # Route the critic-phase fake synthesis through the fused Pallas FK
+    # kernel (2.3x the XLA lowering).  Legal there because critic fakes are
+    # under stop_gradient (the generator loss keeps the differentiable XLA
+    # path).  Enable on real TPU only, and only without a GSPMD data mesh
+    # (pallas_call does not partition automatically).
+    use_pallas_fk: bool = False
 
 
 def camera_bank(train_subjects) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
@@ -131,15 +137,18 @@ def make_single_frame_steps(gen_apply, d3d_apply, d2d_apply,
     d2d_step = make_critic_step(d2d_apply, d2d_tx, hyper.lambda_gp)
     n_cams = cam_quats.shape[0]
 
-    @jax.jit
-    def synth_fake(gen_params, bone_len, key):
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("use_pallas",))
+    def synth_fake(gen_params, bone_len, key, use_pallas: bool = False):
         """noise -> fake world pose (B, 16, 3) + scaler sampling."""
         B = bone_len.shape[0]
         k_noise, k_scaler = jax.random.split(key)
         noise = jax.random.normal(k_noise, (B, hyper.noise_dim))
         head = gen_apply(gen_params, noise)
         scaler = sample_scaler8(k_scaler, B, hyper.bone_len_scaler)
-        return synthesize_poses(head, bone_len, scaler, gen_cfg)
+        return synthesize_poses(head, bone_len, scaler, gen_cfg,
+                                use_pallas=use_pallas)
 
     def critics_step(d3d_state, d2d_state, gen_params,
                      real_3d_cam, cam_param16, target_2d, key):
@@ -163,8 +172,11 @@ def make_single_frame_steps(gen_apply, d3d_apply, d2d_apply,
             real_3d_cam, cam_param16[:, 9:13], cam_param16[:, 13:16])
         real_rel = real_world - real_world[:, :1]
 
-        # Fake synthesis (generator frozen in this phase).
-        fake_world = jax.lax.stop_gradient(synth_fake(gen_params, bone_len, k_fake))
+        # Fake synthesis (generator frozen in this phase; no gradient needed,
+        # so the fused Pallas FK kernel is legal here when enabled).
+        fake_world = jax.lax.stop_gradient(
+            synth_fake(gen_params, bone_len, k_fake,
+                       use_pallas=hyper.use_pallas_fk))
         fake_root = fake_world[:, :1]
         fake_rel = fake_world - fake_root
 
@@ -262,9 +274,11 @@ def make_single_frame_steps(gen_apply, d3d_apply, d2d_apply,
                 it % 5 == 4, do_gen,
                 lambda gs: (gs, jnp.nan),  # no generator update this iteration
                 gen_s)
-            outs = (fake_cam3d, fake_2d, intr,
-                    metrics["3d_wasserstein"], metrics["2d_wasserstein"],
-                    metrics["3d_d_cost"], metrics["2d_d_cost"], g_cost)
+            scalars = {k: metrics[k] for k in
+                       ("3d_d_real", "3d_d_fake", "3d_wasserstein", "3d_d_cost",
+                        "2d_d_real", "2d_d_fake", "2d_wasserstein", "2d_d_cost")}
+            scalars["g_cost"] = g_cost
+            outs = (fake_cam3d, fake_2d, intr, scalars)
             return (gen_s, d3_s, d2_s, it + 1), outs
 
         (gen_state, d3d_state, d2d_state, _), outs = jax.lax.scan(

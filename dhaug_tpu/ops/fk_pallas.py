@@ -161,6 +161,15 @@ def _fk_kernel(angles_ref, bone_ref, grot_ref, root_ref, out_ref):
         out_ref[slot16 * 3 + 2, :] = wz + rz
 
 
+def fk_pallas_supported() -> bool:
+    """True when the fused kernel can run natively (a real TPU backend; the
+    CPU backend only supports interpret mode, which is for tests)."""
+    try:
+        return jax.devices()[0].platform not in ("cpu",)
+    except Exception:  # pragma: no cover - backend init failure
+        return False
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def fk_world_pose_pallas(angles: jnp.ndarray, bone_len: jnp.ndarray,
                          global_rot: jnp.ndarray, root: jnp.ndarray,

@@ -53,6 +53,38 @@ def replicate(mesh: Mesh, tree):
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
 
 
+def shard_index_rows(mesh: Mesh, arr):
+    """Place an (n_batches, B, ...) epoch-index (or per-iteration data) array
+    with the per-iteration batch axis sharded over 'data'.  Inside a scan
+    each step slices one row, so the gathered batch comes out sharded over
+    the mesh and every downstream matmul/update runs data-parallel with XLA
+    inserting the gradient all-reduces."""
+    return jax.device_put(arr, NamedSharding(mesh, P(None, "data")))
+
+
+def mesh_from_args(args) -> Optional[Mesh]:
+    """Build the 1-D data mesh requested by --data_parallel_devices (0/1 =
+    single device, no mesh).  Validates device count and batch divisibility
+    up front so a user asking for 8 chips can never silently get 1."""
+    n = int(getattr(args, "data_parallel_devices", 0) or 0)
+    if n <= 1:
+        return None
+    devs = jax.devices()
+    if len(devs) < n:
+        raise SystemExit(
+            f"--data_parallel_devices {n} requested but only {len(devs)} "
+            f"JAX device(s) are visible on platform "
+            f"'{devs[0].platform}'")
+    if args.batch_size % n != 0:
+        raise SystemExit(
+            f"--batch_size {args.batch_size} is not divisible by "
+            f"--data_parallel_devices {n}")
+    mesh = make_mesh(n, model_axis=1)
+    print(f"==> Data-parallel mesh: {n} x {devs[0].platform} "
+          f"({dict(mesh.shape)})")
+    return mesh
+
+
 def shard_params_tp(mesh: Mesh, params, min_width: int = 512):
     """Tensor-parallel placement: shard wide Dense kernels/biases over the
     'model' axis (last dim), replicate everything else.  With GSPMD, jit

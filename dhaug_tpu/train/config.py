@@ -33,7 +33,10 @@ def _add_common(parser: argparse.ArgumentParser):
     parser.set_defaults(max_norm=True)
     parser.add_argument("--random_seed", type=int, default=0)
     parser.add_argument("--downsample", default=1, type=int, metavar="FACTOR")
-    parser.add_argument("--pretrain", default=False, type=_str2bool)
+    parser.add_argument("--pretrain", default=False, type=_str2bool,
+                        help="accepted for CLI compatibility; a no-op — the "
+                             "reference's pretrain branch is `pass` "
+                             "(run_Fk_GAN.py:107)")
     parser.add_argument("--s1only", default=False, type=_str2bool)
     parser.add_argument("--num_workers", default=0, type=int, metavar="N",
                         help="accepted for CLI compatibility; the host feed is single-process")
@@ -43,7 +46,9 @@ def _add_common(parser: argparse.ArgumentParser):
     parser.add_argument("--synthetic_data", default=False, type=_str2bool,
                         help="fabricate a small synthetic dataset when the npz files are absent")
     parser.add_argument("--data_parallel_devices", default=0, type=int,
-                        help="shard train steps over this many devices (0 = all local)")
+                        help="run the compiled epoch programs data-parallel over "
+                             "this many devices (0/1 = single device); "
+                             "batch_size must divide by it")
     parser.add_argument("--jax_platform", default="", type=str,
                         help="force a JAX platform (e.g. cpu) before backend init")
 
@@ -83,8 +88,12 @@ def get_aug_parser() -> argparse.ArgumentParser:
     parser.add_argument("--GAN_2d_loss_weight", default=0.2, type=float)
     parser.add_argument("--GAN_3d_motion_loss_weight", default=1, type=float)
     parser.add_argument("--GAN_2d_motion_loss_weight", default=1, type=float)
-    parser.add_argument("--GAN_whether_rand_root", default=True, type=_str2bool)
-    parser.add_argument("--set_demo_mode", default=False, type=_str2bool)
+    parser.add_argument("--GAN_whether_rand_root", default=True, type=_str2bool,
+                        help="accepted for CLI compatibility; dead in the "
+                             "reference too (parsed, never read)")
+    parser.add_argument("--set_demo_mode", default=False, type=_str2bool,
+                        help="accepted for CLI compatibility; dead in the "
+                             "reference too (parsed, never read)")
     parser.add_argument("--GAN_checkpoint", default="checkpoint", type=str)
     parser.add_argument("--GAN_resume", default="", type=str, metavar="FILENAME")
     parser.add_argument("--record_all_picture", default=False, type=_str2bool)
@@ -99,7 +108,9 @@ def get_aug_parser() -> argparse.ArgumentParser:
     parser.add_argument("--GAN_video_playback_input", default=True, type=_str2bool)
     parser.add_argument("--gpu_id", default="0", type=str,
                         help="accepted for CLI compatibility; ignored on TPU")
-    parser.add_argument("--Path_3DPW", default="", type=str)
+    parser.add_argument("--Path_3DPW", default="", type=str,
+                        help="accepted for CLI compatibility; the reference's "
+                             "3DPW path is dead code (never loaded)")
     parser.add_argument("--single_or_multi_train_mode", default="single", type=str)
     parser.add_argument("--architecture", default="3,3,3", type=str, metavar="LAYERS")
     return parser

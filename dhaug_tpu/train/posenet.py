@@ -159,17 +159,26 @@ def make_video_window_epoch_fn(model, tx, window: int,
 
 
 def train_epoch_scan(epoch_fn, state: NetState, poses_2d, poses_3d,
-                     np_rng, batch_size: int, key):
+                     np_rng, batch_size: int, key, mesh=None):
     """Drive a scan-epoch function: build the shuffled (n_batches, B) index
-    matrix, run the single dispatch, return (state, mean loss)."""
+    matrix, run the single dispatch, return (state, mean loss).
+
+    With ``mesh`` (--data_parallel_devices) the same compiled program runs
+    data-parallel: epoch arrays/state replicated, index rows sharded over
+    'data', gradient all-reduce inserted by GSPMD."""
     n = poses_2d.shape[0]
     n_batches = n // batch_size
     if n_batches == 0:
         return state, float("nan")
     idx = np_rng.permutation(n)[: n_batches * batch_size]
     idx = jnp.asarray(idx.reshape(n_batches, batch_size))
-    state, loss = epoch_fn(state, jnp.asarray(poses_2d), jnp.asarray(poses_3d),
-                           idx, key)
+    dev2d, dev3d = jnp.asarray(poses_2d), jnp.asarray(poses_3d)
+    if mesh is not None:
+        from dhaug_tpu.parallel.mesh import replicate, shard_index_rows
+        dev2d, dev3d = replicate(mesh, dev2d), replicate(mesh, dev3d)
+        idx = shard_index_rows(mesh, idx)
+        state = replicate(mesh, state)
+    state, loss = epoch_fn(state, dev2d, dev3d, idx, key)
     return state, float(loss)
 
 

@@ -76,6 +76,23 @@ def cache_eval_arrays(bundle) -> None:
     bundle.mpi3d.poses_3d = jnp.asarray(bundle.mpi3d.poses_3d)
 
 
+def write_eval_scalars(writer, epoch: int, h36m: dict, dhp: dict,
+                       tag: str) -> None:
+    """Per-epoch evaluation scalars with the reference's TensorBoard tags
+    (function_aug/model_pos_eval.py:81-85): posenet_H36M_test/p1score<tag>
+    etc. and posenet_mpi3d_loader_flip/... for the flip-averaged 3DHP eval.
+    ``tag`` is '_fake' or '_real' (which posenet pass was just trained)."""
+    if writer is None:
+        return
+    for key, scores, flipaug in (("H36M_test", h36m, ""),
+                                 ("mpi3d_loader", dhp, "_flip")):
+        base = f"posenet_{key}{flipaug}"
+        writer.add_scalar(f"{base}/p1score{tag}", scores.get("p1", 0.0), epoch)
+        writer.add_scalar(f"{base}/p2score{tag}", scores.get("p2", 0.0), epoch)
+        writer.add_scalar(f"{base}/_pck{tag}", scores.get("pck", 0.0), epoch)
+        writer.add_scalar(f"{base}/_auc{tag}", scores.get("auc", 0.0), epoch)
+
+
 def evaluate_both(forward, flip_forward, params, batch_stats, bundle: DataBundle,
                   batch_size: int):
     """H36M (no flip) + 3DHP (flip-averaged) evaluation — the reference's

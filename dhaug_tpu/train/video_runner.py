@@ -123,13 +123,17 @@ def video_mode_main(args, train_subjects: List[str]):
     from dhaug_tpu.train.posenet import (evaluate, make_posenet_epoch_fn,
                                          make_posenet_eval_step,
                                          make_video_window_epoch_fn)
-    from dhaug_tpu.train.runners import make_logger, make_run_dir
+    from dhaug_tpu.train.runners import (make_logger, make_run_dir,
+                                         write_eval_scalars)
     from dhaug_tpu.train.state import (adam_posenet, lambda_lr, make_state,
                                        set_learning_rate)
     from dhaug_tpu.utils.checkpoint import save_ckpt
 
     np_rng = np.random.default_rng(args.random_seed)
     key = jax.random.PRNGKey(args.random_seed)
+
+    from dhaug_tpu.parallel.mesh import mesh_from_args
+    mesh = mesh_from_args(args)
 
     (bundle, train_loader, gan_loader, h36m_eval, mpi3d_eval,
      rf) = video_data_preparation(args)
@@ -182,6 +186,16 @@ def video_mode_main(args, train_subjects: List[str]):
                        flip_forward=flip_forward)
         return h36m, dhp
 
+    def _place(arrays_rep, idx_rows, state):
+        """Data-parallel placement for a scan-epoch dispatch (no-op without
+        --data_parallel_devices)."""
+        if mesh is None:
+            return arrays_rep, idx_rows, state
+        from dhaug_tpu.parallel.mesh import replicate, shard_index_rows
+        return (tuple(replicate(mesh, a) for a in arrays_rep),
+                tuple(shard_index_rows(mesh, i) for i in idx_rows),
+                replicate(mesh, state))
+
     def train_on_fakes(state, fakes, key):
         """Fake clips: full-clip 2D input, centre-frame 3D target
         (video_mode_PoseDataSet, video_GAN_fun.py:46-76) — one scan dispatch."""
@@ -193,9 +207,10 @@ def video_mode_main(args, train_subjects: List[str]):
             return state
         idx = jnp.asarray(np_rng.permutation(n)[: n_b * args.batch_size]
                           .reshape(n_b, args.batch_size))
-        state, _ = fake_epoch_fn(state, jnp.asarray(f2d),
-                                 jnp.asarray(f3d[:, center:center + 1]),
-                                 idx, key)
+        (d2, d3), (idx,), state = _place(
+            (jnp.asarray(f2d), jnp.asarray(f3d[:, center:center + 1])),
+            (idx,), state)
+        state, _ = fake_epoch_fn(state, d2, d3, idx, key)
         return state
 
     def train_on_real(state, key):
@@ -209,8 +224,9 @@ def video_mode_main(args, train_subjects: List[str]):
                               .reshape(n_b, args.batch_size))
         idx3d = jnp.asarray(train_loader.idx3d[order]
                             .reshape(n_b, args.batch_size))
-        state, _ = real_epoch_fn(state, dev_big2d, dev_big3d, start2d,
-                                 idx3d, key)
+        (b2, b3), (start2d, idx3d), state = _place(
+            (dev_big2d, dev_big3d), (start2d, idx3d), state)
+        state, _ = real_epoch_fn(state, b2, b3, start2d, idx3d, key)
         return state
 
     dhpp1_best = s911p1_best = None
@@ -230,16 +246,24 @@ def video_mode_main(args, train_subjects: List[str]):
             use_motion = summary.epoch >= args.single_dis_warmup_epoch
             gan, fakes = run_video_gan_epoch(gan, gan_loader, args.batch_size,
                                              k_epoch, summary, use_motion,
-                                             summary.writer)
+                                             summary.writer, mesh=mesh)
 
         if args.record_all_picture and fakes is not None:
-            # per-epoch real/fake clip dumps (video_GAN_fun.py:590-600)
+            # per-epoch real/fake clip dumps (video_GAN_fun.py:590-600 dumps
+            # REAL frames alongside the fake ones)
             from dhaug_tpu.utils.viz import plot_video_strip
             f3d, f2d, _ = fakes
-            plot_video_strip(f3d[0], f2d[0],
+            plot_video_strip(np.asarray(f3d[0]), np.asarray(f2d[0]),
                              os.path.join(run_dir, "tmp",
                                           f"fake_video_ep{summary.epoch}.jpg"),
                              title=f"fake clip, epoch {summary.epoch}")
+            if gan_loader is not None and getattr(gan_loader, "big3d", None) is not None:
+                s = int(gan_loader.start3d[0])
+                real_clip = np.asarray(gan_loader.big3d[s:s + rf])
+                plot_video_strip(real_clip, None,
+                                 os.path.join(run_dir, "tmp",
+                                              f"real_video_ep{summary.epoch}.jpg"),
+                                 title=f"real (re-skinned) clip, epoch {summary.epoch}")
 
         train_now = (summary.epoch > (args.warmup + args.single_dis_warmup_epoch)
                      and args.data_enhancement_method == "GAN") or \
@@ -252,11 +276,15 @@ def video_mode_main(args, train_subjects: List[str]):
                 h36m, dhp = eval_both()
                 logger.append([summary.epoch, 0, h36m["p1"], h36m["p2"],
                                dhp["p1"], dhp["p2"], dhp["pck"], dhp["auc"]])
+                write_eval_scalars(summary.writer, summary.epoch, h36m, dhp,
+                                   "_fake")
                 scores = {"h36m": h36m, "dhp": dhp}
 
             key, k2 = jax.random.split(key)
             pos_state = train_on_real(pos_state, k2)
             h36m, dhp = eval_both()
+            write_eval_scalars(summary.writer, summary.epoch, h36m, dhp,
+                               "_real")
             scores = {"h36m": h36m, "dhp": dhp}
 
             trained_epochs += 1
@@ -285,5 +313,10 @@ def video_mode_main(args, train_subjects: List[str]):
             save_ckpt(ckpt, run_dir, suffix="best_h36m_p1")
         summary.epoch += 1
 
+    if args.record_all_picture and summary.epoch_scalar_history:
+        from dhaug_tpu.utils.viz import plot_scalar_curves
+        plot_scalar_curves(summary.epoch_scalar_history,
+                           os.path.join(run_dir, "wasserstein_curves.png"),
+                           title="GAN critic curves (epoch means)")
     logger.close()
     return scores

@@ -117,20 +117,34 @@ class Summary:
         self.test_iter_num = 0
         self.test_MPI3D_iter_num = 0
         self.writer: Optional[MetricsWriter] = None
+        # per-epoch GAN scalar history (Wasserstein curves etc.), appended by
+        # the GAN epoch runners and plotted at run end under
+        # --record_all_picture (reference: special_operate.py:322 loss curves)
+        self.epoch_scalar_history: dict = {}
+
+    def record_epoch_scalars(self, scalars: dict) -> None:
+        for k, v in scalars.items():
+            self.epoch_scalar_history.setdefault(k, []).append(float(v))
 
     def create_summary(self) -> MetricsWriter:
         self.writer = MetricsWriter(self.directory)
         return self.writer
 
     def state_dict(self) -> dict:
-        return {k: getattr(self, k) for k in (
+        d = {k: getattr(self, k) for k in (
             "epoch", "phase", "train_iter_num", "train_realpose_iter_num",
             "train_fakepose_iter_num", "train_discrim_iter_num",
             "test_iter_num", "test_MPI3D_iter_num")}
+        d["epoch_scalar_history"] = dict(self.epoch_scalar_history)
+        return d
 
     def load_state_dict(self, d: dict):
         for k, v in d.items():
-            setattr(self, k, int(v))
+            if k == "epoch_scalar_history":
+                self.epoch_scalar_history = {
+                    kk: [float(x) for x in vv] for kk, vv in dict(v).items()}
+            else:
+                setattr(self, k, int(v))
 
 
 class AverageMeter:

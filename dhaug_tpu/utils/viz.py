@@ -136,6 +136,100 @@ def plot_dof_angle_heatmap(angles: np.ndarray, path: str,
     return path
 
 
+def plot_scalar_curves(history: dict, path: str, title: str = "") -> str:
+    """Per-epoch scalar curves (e.g. Wasserstein distances, G cost) from a
+    {name: [values...]} history — the reference's GAN loss-curve dumps
+    (special_operate.py:322-344)."""
+    plt = _plt()
+    fig, ax = plt.subplots(figsize=(8, 5))
+    for name, vals in history.items():
+        ax.plot(np.arange(len(vals)), vals, label=name)
+    ax.set_xlabel("epoch")
+    ax.legend()
+    if title:
+        ax.set_title(title)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    fig.savefig(path, dpi=80)
+    plt.close(fig)
+    return path
+
+
+def render_animation(path: str, pred3d: np.ndarray,
+                     gt3d: Optional[np.ndarray] = None,
+                     input2d: Optional[np.ndarray] = None,
+                     fps: int = 10, title: str = "") -> str:
+    """Headless animation of a pose sequence: up to three synchronized
+    columns — input 2D, ground-truth 3D, prediction 3D — written as a .gif
+    (PillowWriter; no ffmpeg needed in TPU pods) or .mp4 when ffmpeg exists.
+
+    pred3d (F, 16, 3); gt3d optional (F, 16, 3); input2d optional (F, 16, 2).
+    Qualitative-video capability the reference delegates to its matplotlib
+    FuncAnimation plotting stack (common/viz.py, video dumps in
+    video_GAN_fun.py:590-600)."""
+    plt = _plt()
+    from matplotlib import animation
+
+    F = pred3d.shape[0]
+    panels = [("prediction 3D", pred3d, 3)]
+    if gt3d is not None:
+        panels.insert(0, ("ground truth 3D", gt3d, 3))
+    if input2d is not None:
+        panels.insert(0, ("input 2D", input2d, 2))
+    n = len(panels)
+    fig = plt.figure(figsize=(4 * n, 4.2))
+    axes, artists = [], []
+    for i, (name, data, dim) in enumerate(panels):
+        if dim == 3:
+            ax = fig.add_subplot(1, n, i + 1, projection="3d")
+            r = float(np.abs(data - data[:, :1]).max()) + 1e-6
+            c = data[0, 0]
+            ax.set_xlim(c[0] - r, c[0] + r)
+            ax.set_ylim(c[1] - r, c[1] + r)
+            ax.set_zlim(c[2] - r, c[2] + r)
+            ax.set_xticks([]), ax.set_yticks([]), ax.set_zticks([])
+        else:
+            ax = fig.add_subplot(1, n, i + 1)
+            r = float(np.abs(data).max()) + 1e-6
+            ax.set_xlim(-r, r), ax.set_ylim(-r, r)
+            ax.invert_yaxis()
+            ax.set_xticks([]), ax.set_yticks([])
+        ax.set_title(name)
+        lines = []
+        for a, b in SKELETON_EDGES_16:
+            color = "tab:blue" if (a, b) in _LEFT_EDGES else "tab:red"
+            if dim == 3:
+                (ln,) = ax.plot([], [], [], c=color, lw=2)
+            else:
+                (ln,) = ax.plot([], [], c=color, lw=2)
+            lines.append((ln, a, b))
+        axes.append((ax, data, dim))
+        artists.append(lines)
+    if title:
+        fig.suptitle(title)
+
+    def update(f):
+        out = []
+        for (ax, data, dim), lines in zip(axes, artists):
+            p = data[f]
+            for ln, a, b in lines:
+                ln.set_data([p[a, 0], p[b, 0]], [p[a, 1], p[b, 1]])
+                if dim == 3:
+                    ln.set_3d_properties([p[a, 2], p[b, 2]])
+                out.append(ln)
+        return out
+
+    anim = animation.FuncAnimation(fig, update, frames=F, blit=False)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    if path.endswith(".mp4") and animation.FFMpegWriter.isAvailable():
+        anim.save(path, writer=animation.FFMpegWriter(fps=fps))
+    else:
+        if path.endswith(".mp4"):  # no ffmpeg in this pod: fall back to gif
+            path = path[:-4] + ".gif"
+        anim.save(path, writer=animation.PillowWriter(fps=fps))
+    plt.close(fig)
+    return path
+
+
 def plot_metric_curves(logfile: str, path: str,
                        columns: Sequence[str] = ("error_h36m_p1",
                                                  "error_3dhp_p1")) -> str:

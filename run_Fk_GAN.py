@@ -37,13 +37,16 @@ def single_frame_mode_main(args, bundle, train_subjects):
                                          make_posenet_eval_step,
                                          train_epoch_scan)
     from dhaug_tpu.train.runners import (evaluate_both, make_logger,
-                                         make_run_dir)
+                                         make_run_dir, write_eval_scalars)
     from dhaug_tpu.train.state import (adam_posenet, lambda_lr, make_state,
                                        set_learning_rate)
     from dhaug_tpu.utils.checkpoint import save_ckpt
 
     np_rng = np.random.default_rng(args.random_seed)
     key = jax.random.PRNGKey(args.random_seed)
+
+    from dhaug_tpu.parallel.mesh import mesh_from_args
+    mesh = mesh_from_args(args)
 
     print("==> Creating PoseNet model...")
     model = make_posenet(args.posenet_name, stages=args.stages,
@@ -138,7 +141,7 @@ def single_frame_mode_main(args, bundle, train_subjects):
             gan, fake_ds = run_gan_epoch(gan, gt2d3d, target_2d, target_3d,
                                          args.batch_size, np_rng, k_epoch,
                                          summary, summary.writer,
-                                         record_dir=record_dir)
+                                         record_dir=record_dir, mesh=mesh)
         elif args.data_enhancement_method == "normal":
             key, k_trad = jax.random.split(key)
             cfg = TraditionalConfig(
@@ -162,6 +165,14 @@ def single_frame_mode_main(args, bundle, train_subjects):
             plot_pose_grid_2d(fake_ds.poses_2d[:16],
                               osp.join(run_dir, "tmp", f"fake2d_ep{summary.epoch}.jpg"),
                               title=f"fake 2D, epoch {summary.epoch}")
+            # the reference dumps REAL frames next to the fake ones every
+            # epoch too (video_GAN_fun.py:590-600)
+            plot_pose_grid_3d(np.asarray(gt2d3d.poses_3d[:16]),
+                              osp.join(run_dir, "tmp", f"real3d_ep{summary.epoch}.jpg"),
+                              title=f"real (re-skinned) 3D, epoch {summary.epoch}")
+            plot_pose_grid_2d(np.asarray(gt2d3d.poses_2d[:16]),
+                              osp.join(run_dir, "tmp", f"real2d_ep{summary.epoch}.jpg"),
+                              title=f"real (re-skinned) 2D, epoch {summary.epoch}")
 
         train_now = (summary.epoch > args.warmup and
                      args.data_enhancement_method == "GAN") or \
@@ -170,22 +181,26 @@ def single_frame_mode_main(args, bundle, train_subjects):
             key, k1 = jax.random.split(key)
             pos_state, _ = train_epoch_scan(pos_epoch_fn, pos_state,
                                             fake_ds.poses_2d, fake_ds.poses_3d,
-                                            np_rng, args.batch_size, k1)
+                                            np_rng, args.batch_size, k1,
+                                            mesh=mesh)
             h36m, dhp = evaluate_both(forward, flip_forward, pos_state.params,
                                       pos_state.batch_stats, bundle,
                                       args.batch_size)
             logger.append([summary.epoch, 0, h36m["p1"], h36m["p2"],
                            dhp["p1"], dhp["p2"], dhp["pck"], dhp["auc"]])
+            write_eval_scalars(summary.writer, summary.epoch, h36m, dhp, "_fake")
             scores = {"h36m": h36m, "dhp": dhp}
 
         if train_now or args.data_enhancement_method == "NO_enhance":
             key, k2 = jax.random.split(key)
             pos_state, _ = train_epoch_scan(pos_epoch_fn, pos_state,
                                             dev_real_2d, dev_real_3d,
-                                            np_rng, args.batch_size, k2)
+                                            np_rng, args.batch_size, k2,
+                                            mesh=mesh)
             h36m, dhp = evaluate_both(forward, flip_forward, pos_state.params,
                                       pos_state.batch_stats, bundle,
                                       args.batch_size)
+            write_eval_scalars(summary.writer, summary.epoch, h36m, dhp, "_real")
             scores = {"h36m": h36m, "dhp": dhp}
 
         # posenet LR: linear decay for args.epochs, then x additional_LR_decay
@@ -220,6 +235,11 @@ def single_frame_mode_main(args, bundle, train_subjects):
             save_ckpt(full_state_ckpt(now_epoch), run_dir, suffix="resume_latest")
         summary.epoch += 1
 
+    if args.record_all_picture and summary.epoch_scalar_history:
+        from dhaug_tpu.utils.viz import plot_scalar_curves
+        plot_scalar_curves(summary.epoch_scalar_history,
+                           f"{run_dir}/wasserstein_curves.png",
+                           title="GAN critic curves (epoch means)")
     logger.close()
     return scores
 

@@ -42,6 +42,9 @@ def main(argv=None):
     np_rng = np.random.default_rng(args.random_seed)
     key = jax.random.PRNGKey(args.random_seed)
 
+    from dhaug_tpu.parallel.mesh import mesh_from_args
+    mesh = mesh_from_args(args)
+
     print("==> Loading dataset...")
     bundle = prepare_data(args)
     from dhaug_tpu.train.runners import cache_eval_arrays
@@ -81,7 +84,8 @@ def main(argv=None):
 
         key, k_epoch = jax.random.split(key)
         state, loss = train_epoch_scan(epoch_fn, state, dev2d, dev3d,
-                                       np_rng, args.batch_size, k_epoch)
+                                       np_rng, args.batch_size, k_epoch,
+                                       mesh=mesh)
 
         h36m, dhp = evaluate_both(forward, flip_forward, state.params,
                                   state.batch_stats, bundle, args.batch_size)

@@ -147,12 +147,99 @@ def fk_reference_style(angles33, bone_len, B):
     return pose
 
 
+class CriticTower(nn.Module):
+    """Reference-shaped WGAN critic (Fk_discriminator.py:149-266 pattern):
+    prelude + 3 residual blocks + scalar head."""
+
+    def __init__(self, in_dim, dense=1000):
+        super().__init__()
+        self.pre = nn.Sequential(nn.Linear(in_dim, dense), nn.ReLU(True))
+        self.b1, self.b2, self.b3 = (ResBlock(dense), ResBlock(dense),
+                                     ResBlock(dense))
+        self.head = nn.Linear(dense, 1)
+
+    def forward(self, x):
+        return self.head(self.b3(self.b2(self.b1(self.pre(x)))))
+
+
+def bench_gan_iteration(args):
+    """One reference-style WGAN-GP training iteration on torch:
+    synthesis (trunk + sequential-bmm FK), 3D critic update with gradient
+    penalty, 2D critic update with gradient penalty, generator update every
+    5th iteration — the per-iteration work of GAN_solutions_FK_generator
+    (model_fk_gan_train.py:273-510, :177-230 per critic, :415-484 generator).
+    Reports iterations/s."""
+    torch.manual_seed(0)
+    B = args.batch
+    trunk = Trunk(args.dense)
+    d3d = CriticTower(48, args.dense)
+    d2d = CriticTower(32, args.dense)
+    opt_g = torch.optim.Adam(trunk.parameters(), lr=1e-4, betas=(0.5, 0.9))
+    opt_3 = torch.optim.Adam(d3d.parameters(), lr=1e-4, betas=(0.5, 0.9))
+    opt_2 = torch.optim.Adam(d2d.parameters(), lr=1e-4, betas=(0.5, 0.9))
+    bone_len = torch.rand(B, 15) * 0.4 + 0.2
+    real3d = torch.randn(B, 48) * 0.3
+    real2d = torch.randn(B, 32) * 0.3
+
+    def synth():
+        z = torch.randn(B, 128)
+        head = trunk(z)
+        ang = torch.tanh(head[:, :33]) * 180.0
+        pose32 = fk_reference_style(ang, bone_len, B)
+        pose16 = pose32[:, [0, 1, 2, 3, 6, 7, 8, 12, 13, 15, 17, 18, 19,
+                            25, 26, 27]]
+        fake3d = pose16.reshape(B, 48)
+        fake2d = pose16[..., :2].reshape(B, 32)
+        return fake3d, fake2d
+
+    def gp(critic, real, fake):
+        alpha = torch.rand(B, 1)
+        interp = (alpha * real + (1 - alpha) * fake).requires_grad_(True)
+        out = critic(interp)
+        grads = torch.autograd.grad(out.sum(), interp, create_graph=True)[0]
+        return ((grads.norm(2, dim=1) - 1.0) ** 2).mean() * 10.0
+
+    def critic_update(critic, opt, real, fake):
+        opt.zero_grad()
+        loss = critic(fake.detach()).mean() - critic(real).mean() + \
+            gp(critic, real, fake.detach())
+        loss.backward()
+        opt.step()
+
+    def iteration(it):
+        fake3d, fake2d = synth()
+        critic_update(d3d, opt_3, real3d, fake3d)
+        critic_update(d2d, opt_2, real2d, fake2d)
+        if it % 5 == 4:
+            opt_g.zero_grad()
+            f3, f2 = synth()
+            g_loss = -(d3d(f3).mean() + 0.2 * d2d(f2).mean())
+            g_loss.backward()
+            opt_g.step()
+
+    iteration(0)  # warmup
+    t0 = time.perf_counter()
+    for it in range(args.iters):
+        iteration(it)
+    dt = time.perf_counter() - t0
+    ips = args.iters / dt
+    print(f"reference-style torch GAN iteration "
+          f"({'cuda' if torch.cuda.is_available() else 'cpu'}): "
+          f"{ips:.3f} iters/s  ({dt / args.iters * 1000:.1f} ms/iter, "
+          f"batch {B})")
+    return ips
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=1024)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--dense", type=int, default=1000)
+    ap.add_argument("--mode", default="synthesis",
+                    choices=["synthesis", "gan_iter"])
     args = ap.parse_args()
+    if args.mode == "gan_iter":
+        return bench_gan_iteration(args)
 
     torch.manual_seed(0)
     trunk = Trunk(args.dense)

@@ -31,6 +31,7 @@ def workdir(tmp_path_factory):
     return str(tmp_path_factory.mktemp("cli"))
 
 
+@pytest.mark.slow
 def test_baseline_then_evaluate(workdir):
     proc = run_cli("run_baseline.py", "--posenet_name", "mlp",
                    "--epochs", "1", "--stages", "1",
@@ -66,8 +67,9 @@ def test_fk_gan_traditional_mode(workdir):
 
 
 def test_bench_json_contract(workdir):
-    """bench.py must print exactly one JSON line with the driver's schema.
-    (Run on CPU here; the driver runs it on the TPU.)"""
+    """bench.py's LAST stdout line must be a JSON object with the driver's
+    exact 4-field schema; the line before it carries the GAN training-step
+    metric.  (Run on CPU here; the driver runs it on the TPU.)"""
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
@@ -77,6 +79,9 @@ def test_bench_json_contract(workdir):
     src = src.replace("SCAN_STEPS = 8", "SCAN_STEPS = 2")
     src = src.replace("DENSE = 1000", "DENSE = 64")
     src = src.replace("ITERS = 5", "ITERS = 2")
+    src = src.replace("GAN_BATCH = 1024", "GAN_BATCH = 32")
+    src = src.replace("GAN_SCAN = 20", "GAN_SCAN = 3")
+    src = src.replace("GAN_ITERS = 3", "GAN_ITERS = 1")
     src = src.replace("from __future__ import annotations",
                       "from __future__ import annotations\n"
                       "import jax; jax.config.update('jax_platforms', 'cpu')")
@@ -86,12 +91,18 @@ def test_bench_json_contract(workdir):
     proc = subprocess.run([sys.executable, path], capture_output=True,
                           text=True, timeout=560, cwd=REPO, env=env)
     assert proc.returncode == 0, proc.stderr[-2000:]
-    line = proc.stdout.strip().splitlines()[-1]
-    data = json.loads(line)
+    lines = proc.stdout.strip().splitlines()
+    # LAST line = the driver's headline metric with the exact 4-field schema
+    data = json.loads(lines[-1])
     assert set(data) == {"metric", "value", "unit", "vs_baseline"}
     assert data["value"] > 0
+    # the preceding line carries the GAN training-step metric + MFU estimate
+    gan = json.loads(lines[-2])
+    assert gan["unit"] == "iters/s" and gan["value"] > 0
+    assert 0 < gan["mfu_est"] < 1  # rounded to 6 dp; tiny-but-positive on CPU
 
 
+@pytest.mark.slow
 def test_fk_gan_resume_roundtrip(workdir):
     """Full-state resume: train 2 epochs with --snapshot 1, resume from the
     snapshot with a higher --epochs, and verify training continues from the
@@ -100,14 +111,33 @@ def test_fk_gan_resume_roundtrip(workdir):
               "--additional_train_epoch", "0", "--Gen_DenseDim", "64",
               "--Dis_DenseDim_3D", "64", "--Dis_DenseDim_2D", "64",
               "--snapshot", "1", "--data_enhancement_method", "GAN",
+              "--record_all_picture", "true",
               "--checkpoint", os.path.join(workdir, "resume"), *COMMON]
     p1 = run_cli("run_Fk_GAN.py", "--epochs", "2", *common)
     assert p1.returncode == 0, p1.stderr[-2000:]
-    ckpts = []
+    ckpts, artifacts = [], []
     for root, _, files in os.walk(os.path.join(workdir, "resume")):
         ckpts += [os.path.join(root, f) for f in files
                   if f == "ckpt_resume_latest.ckpt"]
+        artifacts += files
     assert ckpts, "no resume snapshot written"
+    # --record_all_picture produces the reference's artifact set: fake AND
+    # real pose grids per epoch, the DOF heatmap, and Wasserstein curves
+    # (plus TensorBoard eval scalars checked below)
+    for pattern in ("fake3d_ep", "real3d_ep", "fake2d_ep", "real2d_ep",
+                    "34DOF_3GlobalRot_heatmap", "wasserstein_curves"):
+        assert any(pattern in f for f in artifacts), pattern
+    # per-epoch posenet eval scalars with the reference tags reached the
+    # metrics stream (MetricsWriter mirrors add_scalar calls to a jsonl)
+    import glob
+    jsonls = glob.glob(os.path.join(workdir, "resume", "**", "metrics.jsonl"),
+                       recursive=True)
+    if jsonls:
+        stream = open(jsonls[0]).read()
+        for tag in ("posenet_H36M_test/p1score_fake",
+                    "posenet_mpi3d_loader_flip/p1score_real",
+                    "train_G_iter_PoseFk/Fk_d3d_Wasserstein_D"):
+            assert tag in stream, tag
     p2 = run_cli("run_Fk_GAN.py", "--epochs", "3", "--resume",
                  sorted(ckpts)[-1], *common)
     assert p2.returncode == 0, p2.stderr[-2000:]
@@ -116,6 +146,7 @@ def test_fk_gan_resume_roundtrip(workdir):
     assert "Epoch: 2" in p2.stdout
 
 
+@pytest.mark.slow
 def test_fk_gan_video_mode(workdir):
     """Video-mode CLI end to end: GAN warmup epoch + one trained epoch with
     the multi-frame posenet and whole-sequence eval."""
@@ -138,6 +169,54 @@ def test_fk_gan_video_mode(workdir):
     assert m and float(m[-1]) > 0
 
 
+@pytest.mark.slow
+def test_baseline_data_parallel_matches_single_device(workdir):
+    """--data_parallel_devices 8 on the CPU mesh must reproduce the
+    single-device metrics (round-1 VERDICT gap #1: the flag used to parse
+    and do nothing)."""
+    import re
+    env_flags = "--xla_force_host_platform_device_count=8"
+    results = {}
+    for ndev in (1, 8):
+        env = dict(os.environ)
+        env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") + " " + env_flags).strip()
+        env.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+        proc = subprocess.run(
+            [sys.executable, os.path.join(REPO, "run_baseline.py"),
+             "--posenet_name", "mlp", "--epochs", "1", "--stages", "1",
+             "--data_parallel_devices", str(ndev),
+             "--checkpoint", os.path.join(workdir, f"dp{ndev}"), *COMMON],
+            capture_output=True, text=True, timeout=560, cwd=REPO, env=env)
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        if ndev > 1:
+            assert "Data-parallel mesh: 8" in proc.stdout
+        results[ndev] = float(
+            re.search(r"Best H36M P1: ([\d.]+)", proc.stdout).group(1))
+    np.testing.assert_allclose(results[8], results[1], rtol=2e-3)
+
+
+def test_data_parallel_flag_rejects_bad_configs():
+    """A user asking for more chips than exist (or a non-divisible batch)
+    must get an error, never a silent single-chip run."""
+    proc = run_cli("run_baseline.py", "--posenet_name", "mlp",
+                   "--epochs", "1", "--stages", "1",
+                   "--data_parallel_devices", "999")
+    assert proc.returncode != 0
+    assert "999" in proc.stderr
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") +
+                        " --xla_force_host_platform_device_count=8").strip()
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "run_baseline.py"),
+         "--posenet_name", "mlp", "--epochs", "1",
+         "--data_parallel_devices", "8", "--synthetic_data", "true",
+         "--jax_platform", "cpu", "--batch_size", "60"],
+        capture_output=True, text=True, timeout=120, cwd=REPO, env=env)
+    assert proc.returncode != 0
+    assert "not divisible" in proc.stderr
+
+
+@pytest.mark.slow
 def test_graft_entry_contract():
     """__graft_entry__ must expose entry() and dryrun_multichip(n)."""
     code = (

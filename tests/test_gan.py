@@ -115,6 +115,57 @@ class TestSingleFrameSteps:
         gen_after = jax.tree.leaves(gen_state.params)[0]
         assert not np.allclose(np.asarray(gen_before), np.asarray(gen_after))
 
+    def test_pallas_fk_critic_path_matches_xla(self, monkeypatch):
+        """With use_pallas_fk the critic phase must produce identical fake
+        buffers and updates (the fused kernel only replaces the
+        stop_gradient FK; interpret mode stands in for TPU on CPU)."""
+        import functools
+
+        from dhaug_tpu.ops import fk_pallas as fkp
+
+        monkeypatch.setattr(
+            fkp, "fk_world_pose_pallas",
+            functools.partial(fkp.fk_world_pose_pallas, interpret=True))
+
+        B = 8
+        real = jax.random.normal(KEY, (B, 16, 3)) * 0.3
+        tgt2d = jax.random.normal(KEY, (B, 16, 2)) * 0.3
+
+        outs = {}
+        for use_pallas in (False, True):
+            gen_cfg = GeneratorConfig(dense_dim=32)
+            hyper = GanHyper(flip=False, use_pallas_fk=use_pallas)
+            gen = FkGeneratorNet(gen_cfg)
+            d3d = Fk3DDiscriminator(dense_dim=32)
+            d2d = Fk2DDiscriminator(dense_dim=32)
+            gp = gen.init(KEY, jnp.zeros((2, 128)))["params"]
+            p3 = d3d.init(KEY, jnp.zeros((2, 16, 3)))["params"]
+            p2 = d2d.init(KEY, jnp.zeros((2, 16, 2)))["params"]
+            txs = [adam_gan() for _ in range(3)]
+            quats, trans, intrs = camera_bank(["S1"])
+            steps = make_single_frame_steps(
+                lambda p, x: gen.apply({"params": p}, x),
+                lambda p, x: d3d.apply({"params": p}, x),
+                lambda p, x: d2d.apply({"params": p}, x),
+                txs[0], txs[1], txs[2], gen_cfg, hyper, quats, trans, intrs)
+            cam16 = jnp.concatenate([
+                jnp.broadcast_to(intrs[0], (B, 9)),
+                jnp.broadcast_to(quats[0], (B, 4)),
+                jnp.broadcast_to(trans[0], (B, 3))], axis=1)
+            out = steps.critics_step(make_state(txs[0], p3),
+                                     make_state(txs[1], p2), gp,
+                                     real, cam16, tgt2d, KEY)
+            outs[use_pallas] = out
+
+        # fake buffers identical to kernel precision
+        np.testing.assert_allclose(np.asarray(outs[True][4]),
+                                   np.asarray(outs[False][4]), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(outs[True][5]),
+                                   np.asarray(outs[False][5]), atol=2e-5)
+        for k, v in outs[False][-1].items():
+            np.testing.assert_allclose(float(outs[True][-1][k]), float(v),
+                                       rtol=1e-4, atol=1e-5, err_msg=k)
+
 
 class TestEpochScan:
     def _build(self):
@@ -170,16 +221,18 @@ class TestEpochScan:
 
     def test_epoch_outputs(self):
         _, gen_s2, d3_s2, d3_s0, outs, nB, B = self._epoch(6, 0)
-        fake3d, fake2d, intr, w3d, w2d, c3d, c2d, g_cost = outs
+        fake3d, fake2d, intr, scalars = outs
         # g_cost is NaN except on the every-5th generator iterations
-        g = np.asarray(g_cost)
+        g = np.asarray(scalars["g_cost"])
         assert np.isnan(g[[0, 1, 2, 3, 5]]).all()
         assert np.isfinite(g[4])
         assert fake3d.shape == (nB, B, 16, 3)
         assert fake2d.shape == (nB, B, 16, 2)
         assert intr.shape == (nB, B, 9)
-        assert w3d.shape == (nB,)
-        assert np.isfinite(np.asarray(w3d)).all()
+        for k in ("3d_d_real", "3d_d_fake", "3d_wasserstein", "3d_d_cost",
+                  "2d_d_real", "2d_d_fake", "2d_wasserstein", "2d_d_cost"):
+            assert scalars[k].shape == (nB,), k
+            assert np.isfinite(np.asarray(scalars[k])).all(), k
         # critics actually trained
         a = jax.tree.leaves(d3_s2.params)[0]
         b = jax.tree.leaves(d3_s0.params)[0]

@@ -58,6 +58,125 @@ def test_entry_compiles():
     assert np.isfinite(np.asarray(out)).all()
 
 
+def _tiny_gan_steps(flip=True):
+    from dhaug_tpu.gan.wgan import GanHyper, camera_bank, make_single_frame_steps
+    from dhaug_tpu.models.discriminators import (Fk2DDiscriminator,
+                                                 Fk3DDiscriminator)
+    from dhaug_tpu.models.generator import FkGeneratorNet, GeneratorConfig
+    from dhaug_tpu.train.state import adam_gan
+
+    gen_cfg = GeneratorConfig(dense_dim=32)
+    gen = FkGeneratorNet(gen_cfg)
+    d3d = Fk3DDiscriminator(dense_dim=32)
+    d2d = Fk2DDiscriminator(dense_dim=32)
+    gp = gen.init(KEY, jnp.zeros((2, 128)))["params"]
+    p3 = d3d.init(KEY, jnp.zeros((2, 16, 3)))["params"]
+    p2 = d2d.init(KEY, jnp.zeros((2, 16, 2)))["params"]
+    quats, trans, intrs = camera_bank(["S1"])
+    txs = [adam_gan() for _ in range(3)]
+    steps = make_single_frame_steps(
+        lambda p, x: gen.apply({"params": p}, x),
+        lambda p, x: d3d.apply({"params": p}, x),
+        lambda p, x: d2d.apply({"params": p}, x),
+        txs[0], txs[1], txs[2], gen_cfg, GanHyper(flip=flip),
+        quats, trans, intrs)
+    return steps, txs, (gp, p3, p2), (quats, trans, intrs)
+
+
+def test_sharded_epoch_step_matches_single_device():
+    """The PRODUCTION GAN epoch program (gan/wgan.py::epoch_step) run with
+    --data_parallel_devices-style placement must match the single-device run
+    — same keys, same data, final params and per-iteration metrics equal up
+    to cross-device reduction order."""
+    from dhaug_tpu.parallel.mesh import replicate, shard_index_rows
+    from dhaug_tpu.train.state import make_state
+
+    steps, txs, (gp, p3, p2), (quats, trans, intrs) = _tiny_gan_steps()
+
+    B, nb, N = 16, 6, 100
+    rng = np.random.default_rng(0)
+    dev3d = jnp.asarray(rng.normal(size=(N, 16, 3)).astype(np.float32) * 0.3)
+    devcam = jnp.asarray(np.concatenate(
+        [np.tile(np.asarray(intrs[0])[None], (N, 1)),
+         np.tile(np.asarray(quats[0])[None], (N, 1)),
+         np.tile(np.asarray(trans[0])[None], (N, 1))],
+        axis=1).astype(np.float32))
+    devt2d = jnp.asarray(rng.normal(size=(N, 16, 2)).astype(np.float32) * 0.3)
+    idx_r = jnp.asarray(rng.permutation(N)[: nb * B].reshape(nb, B))
+    idx_t = jnp.asarray(rng.permutation(N)[: nb * B].reshape(nb, B))
+
+    def run(mesh):
+        g = make_state(txs[0], gp)
+        s3 = make_state(txs[1], p3)
+        s2 = make_state(txs[2], p2)
+        a3, ac, at, ir, it = dev3d, devcam, devt2d, idx_r, idx_t
+        if mesh is not None:
+            a3, ac, at = (replicate(mesh, x) for x in (a3, ac, at))
+            ir, it = shard_index_rows(mesh, ir), shard_index_rows(mesh, it)
+            g, s3, s2 = (replicate(mesh, s) for s in (g, s3, s2))
+        return steps.epoch_step(g, s3, s2, a3, ac, at, ir, it,
+                                jnp.asarray(0, jnp.int32),
+                                jax.random.PRNGKey(7))
+
+    g1, s31, s21, o1 = run(None)
+    g8, s38, s28, o8 = run(make_mesh(8))
+
+    for a, b in ((g1, g8), (s31, s38), (s21, s28)):
+        for x, y in zip(jax.tree.leaves(a.params), jax.tree.leaves(b.params)):
+            np.testing.assert_allclose(np.asarray(y), np.asarray(x),
+                                       rtol=1e-3, atol=1e-4)
+    # per-iteration Wasserstein trajectories + fake buffers
+    np.testing.assert_allclose(np.asarray(o8[3]["3d_wasserstein"]),
+                               np.asarray(o1[3]["3d_wasserstein"]),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(o8[0]), np.asarray(o1[0]),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_sharded_posenet_epoch_matches_single_device():
+    """train_epoch_scan(mesh=...) must reproduce the single-device result."""
+    from dhaug_tpu.models.posenets import LinearModel
+    from dhaug_tpu.train.posenet import make_posenet_epoch_fn, train_epoch_scan
+    from dhaug_tpu.train.state import adam_posenet, make_state
+
+    model = LinearModel(linear_size=64, num_stage=1, dropout=0.25)
+    variables = model.init({"params": KEY, "dropout": KEY},
+                           jnp.zeros((2, 16, 2)), train=False)
+    # lr kept small: Adam normalizes near-zero gradients, so each update has
+    # magnitude ~lr and cross-device reduction-order noise can flip tiny
+    # gradient components — drift per step is O(lr), not O(noise)
+    tx = adam_posenet(1e-4)
+    epoch_fn = make_posenet_epoch_fn(model, tx, criterion="mse", flip=True)
+
+    rng = np.random.default_rng(1)
+    N = 80
+    p2d = rng.normal(size=(N, 16, 2)).astype(np.float32) * 0.3
+    p3d = rng.normal(size=(N, 16, 3)).astype(np.float32) * 0.3
+
+    def run(mesh):
+        state = make_state(tx, variables["params"],
+                           variables.get("batch_stats"))
+        return train_epoch_scan(epoch_fn, state, p2d, p3d,
+                                np.random.default_rng(3), 16,
+                                jax.random.PRNGKey(5), mesh=mesh)
+
+    s1, l1 = run(None)
+    s8, l8 = run(make_mesh(8))
+    # mean loss over the scan is trajectory evidence: a mid-epoch divergence
+    # would shift every later iteration's loss
+    np.testing.assert_allclose(l8, l1, rtol=1e-4)
+    # functional equivalence of the trained nets (raw Adam params drift by
+    # ~1e-3 because the first moments normalize near-zero gradients, so
+    # reduction-order noise is amplified to O(lr) per step)
+    probe = jnp.asarray(rng.normal(size=(8, 16, 2)).astype(np.float32) * 0.3)
+    def predict(s):
+        v = {"params": s.params}
+        if s.batch_stats:
+            v["batch_stats"] = s.batch_stats
+        return np.asarray(model.apply(v, probe, train=False))
+    np.testing.assert_allclose(predict(s8), predict(s1), atol=5e-3)
+
+
 def test_sharded_gan_step_matches_unsharded():
     """The full train step must produce identical metrics whether the batch
     is sharded over 8 devices or run on one (same params, same keys)."""

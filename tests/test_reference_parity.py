@@ -217,6 +217,20 @@ class TestMetricParity:
         got = float(metrics_ops.p_mpjpe(jnp.asarray(pred), jnp.asarray(target)))
         assert abs(got - expected) < 1e-5
 
+    def test_discriminator_accuracy(self, ref):
+        """vs utils/gan_utils.py:141 get_discriminator_accuracy.  (In the
+        reference its only call sites are in function_aug/model_gan_train.py,
+        which no entry point imports — dead code there; kept here for
+        capability parity with a live test.)"""
+        from dhaug_tpu.gan.wgan import discriminator_accuracy
+        rng = np.random.RandomState(20)
+        pred = rng.normal(size=(256,)).astype(np.float32)
+        label = rng.normal(size=(256,)).astype(np.float32)
+        expected = ref.gan_utils.get_discriminator_accuracy(
+            torch.from_numpy(pred), torch.from_numpy(label))
+        got = discriminator_accuracy(pred, label)
+        assert abs(got - expected) < 1e-6
+
     def test_pck_auc(self, ref):
         rng = np.random.RandomState(11)
         gts = rng.normal(size=(40, 16, 3)).astype(np.float32)
