@@ -14,6 +14,7 @@ Rebuilds the epoch bodies of run_Fk_GAN.py's single-frame mode:
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple, Optional
 
 import jax
@@ -127,16 +128,23 @@ def build_gan(args, train_subjects, key) -> GanBundle:
 
 def dump_angle_heatmap(gan: GanBundle, key, path: str, batch: int = 512):
     """Distribution heatmap of the generator's 37 DOF/rot angles — the
-    reference dumps one every 500 generator calls (Fk_generator.py:172-175)."""
+    reference dumps one every 500 generator calls (Fk_generator.py:172-175) —
+    plus the paper-figure knee-pair density
+    (special_operate.my_draw_distribute_for_paper)."""
     import jax
 
     from dhaug_tpu.models.generator import FkGeneratorNet, head_to_angles
-    from dhaug_tpu.utils.viz import plot_dof_angle_heatmap
+    from dhaug_tpu.utils.viz import (plot_angle_pair_density,
+                                     plot_dof_angle_heatmap)
     net = FkGeneratorNet(gan.gen_cfg)
     noise = jax.random.normal(key, (batch, 128))
     head = net.apply({"params": gan.gen_state.params}, noise)
     angles37, _ = head_to_angles(head.reshape(batch, -1, 35), gan.gen_cfg)
-    plot_dof_angle_heatmap(np.asarray(angles37).reshape(-1, 37), path)
+    flat = np.asarray(angles37).reshape(-1, 37)
+    plot_dof_angle_heatmap(flat, path)
+    root, ext = os.path.splitext(path)
+    plot_angle_pair_density(flat, f"{root}_knee_pair{ext or '.jpg'}",
+                            title="generated knee-DOF pair density")
 
 
 def run_gan_epoch(gan: GanBundle, gt2d3d: PoseDataset, target_2d: PoseTarget,

@@ -230,6 +230,32 @@ def render_animation(path: str, pred3d: np.ndarray,
     return path
 
 
+def plot_angle_pair_density(angles: np.ndarray, path: str,
+                            pair: tuple = (8, 3), title: str = "") -> str:
+    """Paper-figure plotter: 2-D density heatmap of one DOF pair over a
+    batch of generated (or dataset) angle vectors — the reference's
+    my_draw_distribute_for_paper / my_draw_original_dataset_distribute_for_paper
+    (special_operate.py:420-488; default pair 8/3 = the left/right knee DOFs
+    it hardcodes).  angles (N, >=max(pair)+1) in degrees."""
+    plt = _plt()
+    a = np.asarray(angles)
+    x = np.clip(a[:, pair[0]], -180, 180)
+    y = np.clip(a[:, pair[1]], -180, 180)
+    hist, _, _ = np.histogram2d(x, y, bins=361, range=[[-180.5, 180.5]] * 2)
+    fig, ax = plt.subplots(figsize=(6, 6))
+    im = ax.imshow(np.log1p(hist.T), origin="lower", cmap="hot",
+                   extent=[-180, 180, -180, 180])
+    ax.set_xlabel(f"DOF {pair[0]} (deg)")
+    ax.set_ylabel(f"DOF {pair[1]} (deg)")
+    fig.colorbar(im, label="log(1+count)")
+    if title:
+        ax.set_title(title)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    fig.savefig(path, dpi=90)
+    plt.close(fig)
+    return path
+
+
 def plot_metric_curves(logfile: str, path: str,
                        columns: Sequence[str] = ("error_h36m_p1",
                                                  "error_3dhp_p1")) -> str:

@@ -177,6 +177,75 @@ def test_sharded_posenet_epoch_matches_single_device():
     np.testing.assert_allclose(predict(s8), predict(s1), atol=5e-3)
 
 
+def test_sharded_video_epoch_step_matches_single_device():
+    """The video-mode 5-model epoch program under the data mesh must match
+    the single-device run (same placement run_video_gan_epoch uses for
+    --data_parallel_devices)."""
+    from dhaug_tpu.gan.video import build_video_gan
+    from dhaug_tpu.parallel.mesh import replicate, shard_index_rows
+    from dhaug_tpu.train.config import parse_aug_args
+    from dhaug_tpu.gan.wgan import camera_bank
+
+    args = parse_aug_args([
+        "--batch_size", "8", "--Gen_DenseDim", "32",
+        "--Dis_DenseDim_3D", "32", "--Dis_DenseDim_2D", "32",
+        "--video_Dis_DenseDim_3D", "32", "--video_Dis_DenseDim_2D", "32",
+        "--architecture", "3,3", "--single_or_multi_train_mode", "multi",
+        "--GAN_video_playback_input", "false",
+        "--flip_GAN_model_input", "false"])
+    F, B, nb = 9, 8, 2
+    gan = build_video_gan(args, ["S1"], video_frames=F, key=KEY)
+    quats, trans, intrs = camera_bank(["S1"])
+
+    rng = np.random.default_rng(5)
+    T = 64
+    big3d = jnp.asarray(rng.normal(size=(T, 16, 3)).astype(np.float32) * 0.3)
+    big2d = jnp.asarray(rng.normal(size=(T, 16, 2)).astype(np.float32) * 0.3)
+    n_cams = nb * B
+    cams = jnp.asarray(np.concatenate(
+        [np.tile(np.asarray(intrs[0])[None], (n_cams, 1)),
+         np.tile(np.asarray(quats[0])[None], (n_cams, 1)),
+         np.tile(np.asarray(trans[0])[None], (n_cams, 1))], axis=1))
+    start = jnp.asarray(rng.integers(0, T - F, size=(nb, B)))
+    cam_sel = jnp.asarray(np.arange(n_cams).reshape(nb, B))
+
+    def run(mesh):
+        states = (gan.gen_state, gan.d3d_state, gan.d2d_state,
+                  gan.md3d_state, gan.md2d_state)
+        b3, b2, cm, s3, s2, cs = big3d, big2d, cams, start, start, cam_sel
+        if mesh is not None:
+            b3, b2, cm = (replicate(mesh, x) for x in (b3, b2, cm))
+            s3, s2, cs = (shard_index_rows(mesh, x) for x in (s3, s2, cs))
+            states = tuple(replicate(mesh, s) for s in states)
+        # iter0=3 with 2 iterations: the generator update fires inside the
+        # LAST iteration (it==4), after that iteration's critic-phase fakes —
+        # so every buffered fake is synthesized from the initial generator
+        # and compares tightly, while the update path is still exercised.
+        return gan.steps.epoch_step(*states, b3, b2, cm, s3, s2, cs,
+                                    jnp.asarray(3, jnp.int32),
+                                    jax.random.PRNGKey(9), use_motion=True)
+
+    out1 = run(None)
+    out8 = run(make_mesh(8))
+    # fake clip buffers + per-iteration Wasserstein trajectories
+    np.testing.assert_allclose(np.asarray(out8[5][0]), np.asarray(out1[5][0]),
+                               rtol=1e-4, atol=1e-4)
+    for k in ("Fk_d3d_Wasserstein_D", "motion_Fk_d3d_Wasserstein_D",
+              "d2d_Wasserstein_D", "G_cost"):
+        np.testing.assert_allclose(np.asarray(out8[5][3][k]),
+                                   np.asarray(out1[5][3][k]),
+                                   rtol=1e-4, atol=1e-4, err_msg=k)
+    # the generator update trained both runs to near-identical params (Adam
+    # amplifies cross-device reduction noise on tiny gradients to O(lr))
+    gb = jax.tree.leaves(gan.gen_state.params)[0]
+    assert not np.allclose(np.asarray(jax.tree.leaves(out1[0].params)[0]),
+                           np.asarray(gb))
+    for x, y in zip(jax.tree.leaves(out1[0].params),
+                    jax.tree.leaves(out8[0].params)):
+        np.testing.assert_allclose(np.asarray(y), np.asarray(x),
+                                   rtol=1e-3, atol=2e-4)
+
+
 def test_sharded_gan_step_matches_unsharded():
     """The full train step must produce identical metrics whether the batch
     is sharded over 8 devices or run on one (same params, same keys)."""

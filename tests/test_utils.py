@@ -125,6 +125,14 @@ class TestViz:
                               str(tmp_path / "g.png"))
         assert os.path.getsize(p) > 1000
 
+    def test_angle_pair_density(self, tmp_path):
+        from dhaug_tpu.utils.viz import plot_angle_pair_density
+        rng = np.random.default_rng(3)
+        p = plot_angle_pair_density(
+            rng.uniform(-180, 180, (500, 37)).astype(np.float32),
+            str(tmp_path / "pair.jpg"))
+        assert os.path.getsize(p) > 1000
+
     def test_scalar_curves(self, tmp_path):
         from dhaug_tpu.utils.viz import plot_scalar_curves
         p = plot_scalar_curves({"3d_wasserstein": [1.0, 0.5, 0.2],
@@ -153,6 +161,43 @@ class TestViz:
         p = render_animation(str(tmp_path / "seq.mp4"),
                              rng.normal(size=(2, 16, 3)).astype(np.float32))
         assert os.path.getsize(p) > 500
+
+
+class TestFkInspector:
+    def test_generated_page_and_goldens(self, tmp_path):
+        """The interactive DH inspector is a self-contained HTML page whose
+        embedded golden poses must match fk_world_pose (the page re-verifies
+        them in JS on load)."""
+        import json
+        import re
+        import sys
+
+        import jax.numpy as jnp
+
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))), "scripts"))
+        import make_fk_inspector
+
+        from dhaug_tpu.ops import fk
+
+        out = make_fk_inspector.generate(str(tmp_path / "insp.html"))
+        html = open(out).read()
+        assert "<canvas" in html and "selfTest" in html and "fkPose16" in html
+
+        spec = json.loads(re.search(r"const SPEC = (\{.*?\});\n", html,
+                                    re.S).group(1))
+        assert len(spec["goldens"]) >= 3
+        assert len(spec["scatter16"]) == 16
+        for g in spec["goldens"]:
+            pose = np.asarray(fk.fk_world_pose(fk.FKInputs(
+                jnp.asarray(g["angles"], jnp.float32),
+                jnp.asarray(g["bone_len"], jnp.float32),
+                jnp.asarray(g["global_rot"], jnp.float32),
+                jnp.zeros(3, jnp.float32)), n_joints=16))
+            np.testing.assert_allclose(np.asarray(g["pose"]), pose, atol=1e-5)
+        # the chain spec embedded in the page is the ops.fk source of truth
+        assert tuple(spec["chains"]["body"]["alpha"]) == fk.BODY_ALPHA
+        assert tuple(spec["canonical_bone_len"]) == fk.CANONICAL_BONE_LEN
 
 
 class TestSummaryScalars:
