@@ -235,11 +235,53 @@ def video_mode_main(args, train_subjects: List[str]):
     scores = {"h36m": {"p1": 0.0, "p2": 0.0},
               "dhp": {"p1": 0.0, "p2": 0.0, "pck": 0.0, "auc": 0.0}}
     fakes = None
+    start_epoch = 0
     total_epochs = (args.epochs + args.warmup + args.single_dis_warmup_epoch +
                     args.additional_train_epoch)
     gan_epochs_end = args.epochs + args.warmup + args.single_dis_warmup_epoch
 
-    for now_epoch in range(total_epochs):
+    # Full-state resume (all 6 nets + optimizers + counters + RNG), matching
+    # the single-frame runner; the reference's --resume/--GAN_resume flags
+    # have no load path at all (SURVEY.md §5).
+    from dhaug_tpu.utils.checkpoint import load_ckpt, restore_into
+    resume_path = args.resume or args.GAN_resume
+    if resume_path:
+        saved = load_ckpt(resume_path)
+        pos_state = restore_into(pos_state, saved["pos_state"])
+        if gan is not None and "gen_state" in saved:
+            gan = gan._replace(
+                gen_state=restore_into(gan.gen_state, saved["gen_state"]),
+                d3d_state=restore_into(gan.d3d_state, saved["d3d_state"]),
+                d2d_state=restore_into(gan.d2d_state, saved["d2d_state"]),
+                md3d_state=restore_into(gan.md3d_state, saved["md3d_state"]),
+                md2d_state=restore_into(gan.md2d_state, saved["md2d_state"]))
+        summary.load_state_dict(saved["summary"])
+        np_rng.bit_generator.state = saved["np_rng"]
+        key = jnp.asarray(saved["key"])
+        start_epoch = int(saved["epoch"]) + 1
+        summary.epoch = start_epoch
+        lr_now = float(saved.get("lr_now", args.lr_p))
+        trained_epochs = int(saved.get("trained_epochs", 0))
+        dhpp1_best = saved.get("dhpp1_best")
+        s911p1_best = saved.get("s911p1_best")
+        print(f"==> Resumed from {resume_path} at epoch {start_epoch}")
+
+    def full_state_ckpt(now_epoch):
+        state = {"epoch": now_epoch, "lr_now": lr_now,
+                 "trained_epochs": trained_epochs,
+                 "dhpp1_best": dhpp1_best, "s911p1_best": s911p1_best,
+                 "pos_state": pos_state, "summary": summary.state_dict(),
+                 "np_rng": np_rng.bit_generator.state,
+                 "key": np.asarray(key)}
+        if gan is not None:
+            state.update({"gen_state": gan.gen_state,
+                          "d3d_state": gan.d3d_state,
+                          "d2d_state": gan.d2d_state,
+                          "md3d_state": gan.md3d_state,
+                          "md2d_state": gan.md2d_state})
+        return state
+
+    for now_epoch in range(start_epoch, total_epochs):
         if args.data_enhancement_method == "GAN":
             gan_loader = video_reskin_update(args, bundle, templates, np_rng)
             key, k_epoch = jax.random.split(key)
@@ -311,6 +353,9 @@ def video_mode_main(args, train_subjects: List[str]):
         if h36m["p1"] and (s911p1_best is None or s911p1_best > h36m["p1"]):
             s911p1_best = h36m["p1"]
             save_ckpt(ckpt, run_dir, suffix="best_h36m_p1")
+        if (summary.epoch + 1) % max(args.snapshot, 1) == 0:
+            save_ckpt(full_state_ckpt(now_epoch), run_dir,
+                      suffix="resume_latest")
         summary.epoch += 1
 
     if args.record_all_picture and summary.epoch_scalar_history:

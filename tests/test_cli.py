@@ -160,13 +160,42 @@ def test_fk_gan_video_mode(workdir):
                    "--Dis_DenseDim_2D", "96", "--video_Dis_DenseDim_3D", "96",
                    "--video_Dis_DenseDim_2D", "96",
                    "--data_enhancement_method", "GAN",
-                   "--checkpoint", os.path.join(workdir, "video"), *COMMON)
+                   "--checkpoint", os.path.join(workdir, "video"), *COMMON,
+                   timeout=900)
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "receptive field: 9" in proc.stdout
     # the trained epoch must have produced finite metrics
     import re
     m = re.findall(r"H36M P1 ([\d.]+)", proc.stdout)
     assert m and float(m[-1]) > 0
+
+
+@pytest.mark.slow
+def test_fk_gan_video_mode_resume(workdir):
+    """Video-mode full-state resume: all 6 nets + counters round-trip (the
+    reference never saves GAN weights at all)."""
+    common = ["--posenet_name", "mulit_farme_videopose",
+              "--single_or_multi_train_mode", "multi",
+              "--architecture", "3,3", "--warmup", "0",
+              "--single_dis_warmup_epoch", "1",
+              "--additional_train_epoch", "0",
+              "--Gen_DenseDim", "96", "--Dis_DenseDim_3D", "96",
+              "--Dis_DenseDim_2D", "96", "--video_Dis_DenseDim_3D", "96",
+              "--video_Dis_DenseDim_2D", "96", "--snapshot", "1",
+              "--data_enhancement_method", "GAN",
+              "--checkpoint", os.path.join(workdir, "vresume"), *COMMON]
+    p1 = run_cli("run_Fk_GAN.py", "--epochs", "2", *common, timeout=900)
+    assert p1.returncode == 0, p1.stderr[-2000:]
+    ckpts = []
+    for root, _, files in os.walk(os.path.join(workdir, "vresume")):
+        ckpts += [os.path.join(root, f) for f in files
+                  if f == "ckpt_resume_latest.ckpt"]
+    assert ckpts, "no video resume snapshot written"
+    p2 = run_cli("run_Fk_GAN.py", "--epochs", "3", "--resume",
+                 sorted(ckpts)[-1], *common, timeout=900)
+    assert p2.returncode == 0, p2.stderr[-2000:]
+    assert "Resumed from" in p2.stdout
+    assert "Epoch: 3" in p2.stdout
 
 
 @pytest.mark.slow
