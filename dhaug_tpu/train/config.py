@@ -109,8 +109,10 @@ def get_aug_parser() -> argparse.ArgumentParser:
     parser.add_argument("--gpu_id", default="0", type=str,
                         help="accepted for CLI compatibility; ignored on TPU")
     parser.add_argument("--Path_3DPW", default="", type=str,
-                        help="accepted for CLI compatibility; the reference's "
-                             "3DPW path is dead code (never loaded)")
+                        help="accepted for CLI compatibility on the training "
+                             "CLIs (the reference's 3DPW path is dead code); "
+                             "run_evaluate.py implements it as a working "
+                             "cross-dataset evaluation")
     parser.add_argument("--single_or_multi_train_mode", default="single", type=str)
     parser.add_argument("--architecture", default="3,3,3", type=str, metavar="LAYERS")
     return parser
@@ -122,6 +124,11 @@ def get_baseline_parser() -> argparse.ArgumentParser:
     _add_common(parser)
     parser.add_argument("--snapshot", default=25, type=int)
     parser.add_argument("--action-wise", default=True, type=_str2bool)
+    parser.add_argument("--Path_3DPW", default="", type=str,
+                        help="npz with pose3d (N,24|16,3 m) + pose2d "
+                             "(N,16,2 normalized): adds a 3DPW cross-dataset "
+                             "evaluation to run_evaluate (the reference's "
+                             "--Path_3DPW is dead code)")
     parser.add_argument("--lr", default=1.0e-3, type=float, metavar="LR")
     parser.add_argument("--lr_decay", type=int, default=100000)
     parser.add_argument("--lr_gamma", type=float, default=0.96)

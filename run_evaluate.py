@@ -76,6 +76,39 @@ def main(argv=None):
     print(f"3DHP  : P1 {dhp['p1']:.2f} mm | P2 {dhp['p2']:.2f} mm "
           f"| PCK {dhp['pck']:.2f} | AUC {dhp['auc']:.2f}")
 
+    if getattr(args, "Path_3DPW", "") and not video:
+        # Cross-dataset 3DPW evaluation — the reference parses --Path_3DPW
+        # but never loads it (dead code); here it scores an external npz
+        # {pose3d (N, 24|16, 3) metres, pose2d (N, 16, 2) normalized} with
+        # flip-averaged inference.  SMPL-24 GT is mapped to the H36M-16
+        # layout (data/pw3d.py) and P1/P2 are computed over the 14 mapped
+        # joints after mean-centring (the pelvis has no SMPL counterpart).
+        import jax.numpy as jnp
+
+        from dhaug_tpu.data.pw3d import PW3D_TO_16POINTS_TABLE, convert_to_16
+        from dhaug_tpu.ops.metrics import mpjpe, p_mpjpe
+
+        data = np.load(args.Path_3DPW)
+        gt3d, in2d = np.asarray(data["pose3d"]), np.asarray(data["pose2d"])
+        if gt3d.shape[1] == 24:
+            gt3d = convert_to_16(gt3d, PW3D_TO_16POINTS_TABLE)
+            mapped = np.asarray(sorted(PW3D_TO_16POINTS_TABLE.values()))
+        else:
+            mapped = np.arange(16)
+        preds = []
+        bs = args.batch_size
+        for s in range(0, in2d.shape[0], bs):
+            preds.append(np.asarray(flip_forward(params, batch_stats,
+                                                 jnp.asarray(in2d[s:s + bs]))))
+        pred = np.concatenate(preds)[:, mapped]
+        gt = gt3d[:, mapped]
+        pred = pred - pred.mean(axis=1, keepdims=True)
+        gt = gt - gt.mean(axis=1, keepdims=True)
+        p1 = float(mpjpe(jnp.asarray(pred), jnp.asarray(gt))) * 1000.0
+        p2 = float(p_mpjpe(jnp.asarray(pred), jnp.asarray(gt))) * 1000.0
+        print(f"3DPW  : P1 {p1:.2f} mm | P2 {p2:.2f} mm "
+              f"({len(mapped)}-joint protocol, {gt.shape[0]} frames)")
+
     if not video and getattr(args, "action_wise", False):
         # per-action H36M P1 breakdown (the paper's reporting format)
         from dhaug_tpu.train.runners import eval_batches

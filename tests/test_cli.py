@@ -44,10 +44,19 @@ def test_baseline_then_evaluate(workdir):
     for root, _, files in os.walk(os.path.join(workdir, "base")):
         ckpts += [os.path.join(root, f) for f in files if f == "ckpt_best.ckpt"]
     assert ckpts, "no checkpoint written"
+    # tiny SMPL-24-layout 3DPW-style npz: --Path_3DPW is a WORKING eval here
+    # (dead code in the reference)
+    rng = np.random.default_rng(0)
+    pw3d_path = os.path.join(workdir, "fake_3dpw.npz")
+    np.savez(pw3d_path,
+             pose3d=rng.normal(size=(40, 24, 3)).astype(np.float32) * 0.3,
+             pose2d=rng.normal(size=(40, 16, 2)).astype(np.float32) * 0.3)
     proc2 = run_cli("run_evaluate.py", "--evaluate", ckpts[0],
-                    "--posenet_name", "mlp", "--stages", "1", *COMMON)
+                    "--posenet_name", "mlp", "--stages", "1",
+                    "--Path_3DPW", pw3d_path, *COMMON)
     assert proc2.returncode == 0, proc2.stderr[-2000:]
     assert "H36M" in proc2.stdout and "3DHP" in proc2.stdout
+    assert "3DPW" in proc2.stdout and "14-joint protocol" in proc2.stdout
 
     # evaluate must reproduce the training-time best H36M P1 exactly
     import re
