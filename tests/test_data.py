@@ -150,3 +150,47 @@ class TestPw3d:
         out = convert_to_16(src, PW3D_TO_16POINTS_TABLE_FROM_COCO)
         assert out.shape == (1, 16, 3)
         np.testing.assert_allclose(out[0, 9], src[0, 0])  # COCO 0 -> ours 9
+
+
+class TestPrepare3dhp:
+    def test_spin_conversion(self, tmp_path):
+        """convert_spin reproduces the reference recipe: joint reorder,
+        per-sequence frame sizes (TS5/TS6 are 1920x1080), aspect-preserving
+        normalization, confidence masking."""
+        import importlib.util
+        import os
+        spec = importlib.util.spec_from_file_location(
+            "prep3dhp", os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), "data_extra",
+                "prepare_data_3dhp.py"))
+        prep = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(prep)
+
+        rng = np.random.default_rng(0)
+        N, J = 6, 19
+        part = np.zeros((N, J, 3), np.float32)
+        part[:, :, :2] = rng.uniform(0, 2048, (N, J, 2))
+        part[:, :, 2] = 1.0
+        part[0, prep.SPIN_REORDER[3], 2] = 0.0  # one masked joint
+        S = np.zeros((N, J, 4), np.float32)
+        S[:, :, :3] = rng.normal(size=(N, J, 3))
+        names = np.array(["imageFiles/TS1/img_%04d.jpg" % i for i in range(N)])
+        names[4] = "imageFiles/TS5/img_0004.jpg"
+        data = {"imgname": names, "part": part, "S": S}
+
+        p3, p2 = prep.convert_spin(data)
+        assert p3.shape == (N, 16, 3) and p2.shape == (N, 16, 2)
+        # reorder: our joint 0 (Hip) comes from SPIN row 14 (Pelvis)
+        np.testing.assert_allclose(p3[1, 0], S[1, 14, :3])
+        # TS1 frame: x normalized by 2048, square offset
+        j = 5  # our slot 5 <- SPIN row reorder[5]
+        src = part[1, prep.SPIN_REORDER[j], :2]
+        np.testing.assert_allclose(
+            p2[1, j], [src[0]/2048*2 - 1, src[1]/2048*2 - 1], atol=1e-5)
+        # TS5 frame: 1920x1080 with aspect-preserving y offset
+        src = part[4, prep.SPIN_REORDER[j], :2]
+        np.testing.assert_allclose(
+            p2[4, j], [src[0]/1920*2 - 1, src[1]/1920*2 - 1080/1920],
+            atol=1e-5)
+        # masked joint zeroed
+        np.testing.assert_allclose(p2[0, 3], 0.0)
