@@ -100,14 +100,38 @@ def gradient_penalty(critic_apply, params, real, fake, key, lambda_gp):
 
 def make_critic_step(critic_apply, tx, lambda_gp: float):
     """One compiled critic Adam update.  Returns (state, metrics) with the
-    reference's logged quantities (D_real, D_fake, Wasserstein, D_cost)."""
+    reference's logged quantities (D_real, D_fake, Wasserstein, D_cost).
+
+    The real batch, fake batch, and GP interpolates go through the critic as
+    ONE stacked (3B, ...) forward, and the GP's input gradient comes from a
+    single vjp over that stacked pass (cotangent zero on the real/fake
+    slices) — same math as three separate passes (the naive composition is
+    asserted equal in tests/test_gan.py), but each matmul is 3x taller and
+    the op count is ~3x lower, which matters on this overhead-bound path
+    (the matmuls themselves are microseconds at these shapes)."""
 
     @jax.jit
     def step(state: NetState, real, fake, key):
+        B = real.shape[0]
+
         def loss_fn(params):
-            d_real = jnp.mean(critic_apply(params, real))
-            d_fake = jnp.mean(critic_apply(params, fake))
-            gp = gradient_penalty(critic_apply, params, real, fake, key, lambda_gp)
+            r = real.reshape((B, -1))
+            f = fake.reshape((B, -1))
+            alpha = jax.random.uniform(key, (B, 1), dtype=r.dtype)
+            interp = alpha * r + (1.0 - alpha) * f
+            stacked = jnp.concatenate([r, f, interp]).reshape(
+                (3 * B,) + real.shape[1:])
+
+            scores, vjp = jax.vjp(lambda x: critic_apply(params, x), stacked)
+            d_real = jnp.mean(scores[:B])
+            d_fake = jnp.mean(scores[B:2 * B])
+            # GP input-gradient: cotangent selects only the interp slice
+            cot = jnp.zeros_like(scores).at[2 * B:].set(1.0)
+            (g_stacked,) = vjp(cot)
+            g = g_stacked.reshape((3 * B, -1))[2 * B:]
+            norms = jnp.sqrt(jnp.sum(g ** 2, axis=1) + 1e-12)
+            gp = jnp.mean((norms - 1.0) ** 2) * lambda_gp
+
             loss = d_fake - d_real + gp
             return loss, (d_real, d_fake, gp)
 

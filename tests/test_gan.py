@@ -68,6 +68,47 @@ class TestCriticStep:
         _, m = step(state, pose, pose + 0.1, KEY)
         assert set(m) == {"d_real", "d_fake", "gp", "d_cost", "wasserstein"}
 
+    def test_fused_step_equals_naive_composition(self):
+        """make_critic_step's stacked 3B forward + single-vjp GP must equal
+        the naive three-pass composition (separate D(real), D(fake), and
+        gradient_penalty with the SAME alpha draw) exactly."""
+        import optax
+
+        apply_fn, params, pose = _critic_setup()
+        real = pose
+        fake = pose + 0.15 * jax.random.normal(jax.random.PRNGKey(2),
+                                               pose.shape)
+        # SGD for the param comparison: its update is linear in the gradient,
+        # so the bound reflects the true gradient agreement (Adam would
+        # normalize 1e-8 reassociation noise on exact-zero gradients up to
+        # a full +/-lr step)
+        tx = optax.sgd(0.1)
+        lam = 10.0
+
+        def naive_loss(p):
+            d_real = jnp.mean(apply_fn(p, real))
+            d_fake = jnp.mean(apply_fn(p, fake))
+            gp = gradient_penalty(apply_fn, p, real, fake, KEY, lam)
+            return d_fake - d_real + gp, (d_real, d_fake, gp)
+
+        (nl, (nr, nf, ngp)), ngrads = jax.value_and_grad(
+            naive_loss, has_aux=True)(params)
+        n_updates, _ = tx.update(ngrads, tx.init(params), params)
+        n_params = jax.tree.map(lambda a, b: a + b, params, n_updates)
+
+        # the fused step consumes the SAME key for alpha (it splits nothing)
+        step = make_critic_step(apply_fn, tx, lam)
+        f_state, m = step(make_state(tx, params), real, fake, KEY)
+
+        np.testing.assert_allclose(float(m["d_real"]), float(nr), rtol=1e-4)
+        np.testing.assert_allclose(float(m["d_fake"]), float(nf), rtol=1e-4)
+        np.testing.assert_allclose(float(m["gp"]), float(ngp), rtol=1e-4)
+        np.testing.assert_allclose(float(m["d_cost"]), float(nl), rtol=1e-4)
+        for a, b in zip(jax.tree.leaves(n_params),
+                        jax.tree.leaves(f_state.params)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=1e-4, atol=1e-6)
+
 
 class TestSingleFrameSteps:
     def _build(self, flip=True):

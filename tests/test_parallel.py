@@ -121,10 +121,13 @@ def test_sharded_epoch_step_matches_single_device():
     g1, s31, s21, o1 = run(None)
     g8, s38, s28, o8 = run(make_mesh(8))
 
+    # params: Adam normalizes near-zero gradients, so cross-device reduction
+    # noise on dead units is amplified to O(lr)=1e-4 per update; over 6
+    # iterations x (2 critics x flip) updates the bound is a few lr
     for a, b in ((g1, g8), (s31, s38), (s21, s28)):
         for x, y in zip(jax.tree.leaves(a.params), jax.tree.leaves(b.params)):
             np.testing.assert_allclose(np.asarray(y), np.asarray(x),
-                                       rtol=1e-3, atol=1e-4)
+                                       rtol=1e-3, atol=5e-4)
     # per-iteration Wasserstein trajectories + fake buffers
     np.testing.assert_allclose(np.asarray(o8[3]["3d_wasserstein"]),
                                np.asarray(o1[3]["3d_wasserstein"]),
