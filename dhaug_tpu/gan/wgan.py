@@ -25,6 +25,7 @@ Faithful quirks:
 """
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -160,8 +161,6 @@ def make_single_frame_steps(gen_apply, d3d_apply, d2d_apply,
     d3d_step = make_critic_step(d3d_apply, d3d_tx, hyper.lambda_gp)
     d2d_step = make_critic_step(d2d_apply, d2d_tx, hyper.lambda_gp)
     n_cams = cam_quats.shape[0]
-
-    import functools
 
     @functools.partial(jax.jit, static_argnames=("use_pallas",))
     def synth_fake(gen_params, bone_len, key, use_pallas: bool = False):
