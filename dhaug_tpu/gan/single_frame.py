@@ -85,6 +85,7 @@ def build_gan(args, train_subjects, key) -> GanBundle:
         use_pre_angle=args.GAN_whether_use_preAngle,
         use_global_rot=args.whether_use_RT,
         video_frames=1,
+        bf16_trunk=bool(getattr(args, "bf16_trunk", False)),
     )
     from dhaug_tpu.ops.fk_pallas import fk_pallas_supported
     hyper = GanHyper(

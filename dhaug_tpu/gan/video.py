@@ -68,7 +68,8 @@ def build_video_gan(args, train_subjects, video_frames: int, key) -> VideoGanBun
     gen_cfg = GeneratorConfig(
         dense_dim=args.Gen_DenseDim, output_dim=args.GAN_OUTPUT_DIM,
         use_pre_angle=args.GAN_whether_use_preAngle,
-        use_global_rot=args.whether_use_RT, video_frames=video_frames)
+        use_global_rot=args.whether_use_RT, video_frames=video_frames,
+        bf16_trunk=bool(getattr(args, "bf16_trunk", False)))
     from dhaug_tpu.ops.fk_pallas import fk_pallas_supported
     hyper = GanHyper(
         lambda_gp=float(args.GAN_LAMBDA), w3d=args.GAN_3d_loss_weight,

@@ -51,6 +51,11 @@ def _add_common(parser: argparse.ArgumentParser):
                              "batch_size must divide by it")
     parser.add_argument("--jax_platform", default="", type=str,
                         help="force a JAX platform (e.g. cpu) before backend init")
+    parser.add_argument("--bf16_trunk", default=False, type=_str2bool,
+                        help="compute the generator trunk's dense matmuls in "
+                             "bfloat16 (params stay fp32; the FK/geometry "
+                             "path stays fp32-pinned) — a throughput option "
+                             "for bulk synthesis")
 
 
 def get_aug_parser() -> argparse.ArgumentParser:

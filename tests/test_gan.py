@@ -110,6 +110,21 @@ class TestCriticStep:
                                        rtol=1e-4, atol=1e-6)
 
 
+def test_bf16_trunk_flag_reaches_generator_config():
+    from dhaug_tpu.gan.single_frame import build_gan
+    from dhaug_tpu.train.config import parse_aug_args
+    args = parse_aug_args(["--Gen_DenseDim", "32", "--Dis_DenseDim_3D", "32",
+                           "--Dis_DenseDim_2D", "32", "--bf16_trunk", "true",
+                           "--batch_size", "8"])
+    gan = build_gan(args, ["S1"], KEY)
+    assert gan.gen_cfg.bf16_trunk is True
+    # fp32 params, bf16 compute: outputs still fp32 after the head cast
+    noise = jax.random.normal(KEY, (4, 128))
+    head = FkGeneratorNet(gan.gen_cfg).apply(
+        {"params": gan.gen_state.params}, noise)
+    assert head.dtype == jnp.float32
+
+
 class TestSingleFrameSteps:
     def _build(self, flip=True):
         gen_cfg = GeneratorConfig(dense_dim=32)
