@@ -216,6 +216,65 @@ def _per_sample_metrics(outputs_3d, targets_3d):
 _AUC_THRESHOLDS = np.linspace(0.0, 150.0, 31)
 
 
+def make_eval_epoch_fn(model, flip: bool = False):
+    """Whole-evaluation-set inference + per-frame P1/P2/per-joint-error as
+    ONE compiled program: a lax.scan over (n_batches, B) index rows of the
+    device-resident eval arrays.  Replaces ~100 per-batch dispatches (each
+    costs ~30 ms of host time through this environment's TPU tunnel) with a
+    single dispatch per evaluation.  ``flip`` enables the flip-averaged
+    inference used for 3DHP (function_aug/model_pos_eval.py:38-52).
+
+    Returns fn(params, batch_stats, dev2d, dev3d, idx) ->
+    (p1 (n, B), p2 (n, B), err_mm (n, B, 16)); the caller masks padding."""
+
+    @jax.jit
+    def eval_fn(params, batch_stats, dev2d, dev3d, idx):
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+
+        def body(_, sel):
+            x = dev2d[sel]
+            y = dev3d[sel]
+            out = model.apply(variables, x, train=False)
+            if flip:
+                out_f = model.apply(variables, flip_pose(x), train=False)
+                out = (out + flip_pose(out_f)) / 2.0
+            p1, p2, err = _per_sample_metrics(out, y)
+            return None, (p1, p2, err)
+
+        _, (p1, p2, err) = jax.lax.scan(body, None, idx)
+        return p1, p2, err
+
+    return eval_fn
+
+
+def evaluate_scan(eval_fn, params, batch_stats, dev2d, dev3d,
+                  batch_size: int) -> Dict[str, float]:
+    """Drive a scan-eval function over the full set (edge-padded remainder,
+    padding masked out of every statistic).  Exact per-frame weighting as
+    :func:`evaluate`."""
+    n = int(dev2d.shape[0])
+    if n == 0:
+        return {k: float("nan") for k in ("p1", "p2", "pck", "auc")}
+    n_batches = -(-n // batch_size)
+    pad_to = n_batches * batch_size
+    idx = np.minimum(np.arange(pad_to), n - 1)     # edge-pad with last frame
+    idx = jnp.asarray(idx.reshape(n_batches, batch_size))
+    p1, p2, err = eval_fn(params, batch_stats, dev2d, dev3d, idx)
+    # one host fetch for everything
+    p1 = np.asarray(p1).reshape(-1)[:n]
+    p2 = np.asarray(p2).reshape(-1)[:n]
+    err = np.asarray(err).reshape(-1, err.shape[-1])[:n]
+    return {
+        "p1": float(np.mean(p1)),
+        "p2": float(np.mean(p2)),
+        "pck": float(np.mean(err < 150.0) * 100.0),
+        "auc": float(np.mean([np.mean(err < t) * 100.0
+                              for t in _AUC_THRESHOLDS])),
+    }
+
+
 def evaluate(forward, params, batch_stats, batches,
              flip_forward=None) -> Dict[str, float]:
     """Batched evaluation; exact per-frame-weighted P1/P2 (mm) and per-joint

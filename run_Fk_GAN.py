@@ -34,9 +34,8 @@ def single_frame_mode_main(args, bundle, train_subjects):
     from dhaug_tpu.models.factory import init_posenet, make_posenet
     from dhaug_tpu.train.data_prep import world_pose_pool
     from dhaug_tpu.train.posenet import (make_posenet_epoch_fn,
-                                         make_posenet_eval_step,
                                          train_epoch_scan)
-    from dhaug_tpu.train.runners import (evaluate_both, make_logger,
+    from dhaug_tpu.train.runners import (make_eval_both_scan, make_logger,
                                          make_run_dir, write_eval_scalars)
     from dhaug_tpu.train.state import (adam_posenet, lambda_lr, make_state,
                                        set_learning_rate)
@@ -59,7 +58,9 @@ def single_frame_mode_main(args, bundle, train_subjects):
     pos_state = make_state(pos_tx, params, batch_stats)
     pos_epoch_fn = make_posenet_epoch_fn(model, pos_tx, criterion="mse",
                                          flip=args.flip_pos_model_input)
-    forward, flip_forward = make_posenet_eval_step(model)
+    # one compiled scan program per evaluation set (H36M + 3DHP) — a single
+    # dispatch each instead of ~100 per-batch round trips per epoch
+    eval_both = make_eval_both_scan(model, bundle, args.batch_size)
     # static real train split: device-resident across all epochs
     dev_real_2d = jax.numpy.asarray(bundle.train_det2d3d.poses_2d)
     dev_real_3d = jax.numpy.asarray(bundle.train_det2d3d.poses_3d)
@@ -183,9 +184,7 @@ def single_frame_mode_main(args, bundle, train_subjects):
                                             fake_ds.poses_2d, fake_ds.poses_3d,
                                             np_rng, args.batch_size, k1,
                                             mesh=mesh)
-            h36m, dhp = evaluate_both(forward, flip_forward, pos_state.params,
-                                      pos_state.batch_stats, bundle,
-                                      args.batch_size)
+            h36m, dhp = eval_both(pos_state.params, pos_state.batch_stats)
             logger.append([summary.epoch, 0, h36m["p1"], h36m["p2"],
                            dhp["p1"], dhp["p2"], dhp["pck"], dhp["auc"]])
             write_eval_scalars(summary.writer, summary.epoch, h36m, dhp, "_fake")
@@ -197,9 +196,7 @@ def single_frame_mode_main(args, bundle, train_subjects):
                                             dev_real_2d, dev_real_3d,
                                             np_rng, args.batch_size, k2,
                                             mesh=mesh)
-            h36m, dhp = evaluate_both(forward, flip_forward, pos_state.params,
-                                      pos_state.batch_stats, bundle,
-                                      args.batch_size)
+            h36m, dhp = eval_both(pos_state.params, pos_state.batch_stats)
             write_eval_scalars(summary.writer, summary.epoch, h36m, dhp, "_real")
             scores = {"h36m": h36m, "dhp": dhp}
 

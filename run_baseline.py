@@ -31,9 +31,8 @@ def main(argv=None):
     from dhaug_tpu.models.factory import init_posenet, make_posenet
     from dhaug_tpu.train.data_prep import prepare_data
     from dhaug_tpu.train.posenet import (make_posenet_epoch_fn,
-                                         make_posenet_eval_step,
                                          train_epoch_scan)
-    from dhaug_tpu.train.runners import (evaluate_both, make_logger,
+    from dhaug_tpu.train.runners import (make_eval_both_scan, make_logger,
                                          make_run_dir)
     from dhaug_tpu.train.state import (adam_posenet, make_state,
                                        set_learning_rate, step_exp_lr)
@@ -64,7 +63,8 @@ def main(argv=None):
     state = make_state(tx, params, batch_stats)
     epoch_fn = make_posenet_epoch_fn(model, tx, criterion="mse",
                                      flip=args.flip_pos_model_input)
-    forward, flip_forward = make_posenet_eval_step(model)
+    # single-dispatch scan evaluation per set (H36M + 3DHP)
+    eval_both = make_eval_both_scan(model, bundle, args.batch_size)
     # the train split is static: upload once for every epoch's index gathers
     dev2d = jnp.asarray(bundle.train_det2d3d.poses_2d)
     dev3d = jnp.asarray(bundle.train_det2d3d.poses_3d)
@@ -87,8 +87,7 @@ def main(argv=None):
                                        np_rng, args.batch_size, k_epoch,
                                        mesh=mesh)
 
-        h36m, dhp = evaluate_both(forward, flip_forward, state.params,
-                                  state.batch_stats, bundle, args.batch_size)
+        h36m, dhp = eval_both(state.params, state.batch_stats)
         print(f"Epoch {epoch}: lr {lr_now:.2e} loss {loss:.5f} "
               f"| H36M P1 {h36m['p1']:.2f} P2 {h36m['p2']:.2f} "
               f"| 3DHP P1 {dhp['p1']:.2f} PCK {dhp['pck']:.2f} AUC {dhp['auc']:.2f}")

@@ -119,6 +119,30 @@ class TestEvaluate:
                      [(np.zeros((16, 16, 2), np.float32), tgt, 8)])
         assert m["p1"] < 1e-3  # padding ignored
 
+    def test_scan_eval_matches_batched_eval(self):
+        """The single-dispatch scan evaluation must reproduce the per-batch
+        evaluate() metrics exactly (both flip modes, non-multiple set size)."""
+        from dhaug_tpu.train.posenet import evaluate_scan, make_eval_epoch_fn
+        from dhaug_tpu.train.runners import eval_batches
+
+        model, tx, state = _mlp_setup()
+        forward, flip_forward = make_posenet_eval_step(model)
+        rng = np.random.default_rng(1)
+        N, B = 45, 16  # 2 full batches + padded remainder
+        p2d = rng.normal(size=(N, 16, 2)).astype(np.float32) * 0.3
+        p3d = rng.normal(size=(N, 16, 3)).astype(np.float32) * 0.3
+
+        for flip in (False, True):
+            ref = evaluate(forward, state.params, state.batch_stats,
+                           eval_batches(p3d, p2d, B),
+                           flip_forward=flip_forward if flip else None)
+            ev = make_eval_epoch_fn(model, flip=flip)
+            got = evaluate_scan(ev, state.params, state.batch_stats,
+                                jnp.asarray(p2d), jnp.asarray(p3d), B)
+            for k in ("p1", "p2", "pck", "auc"):
+                np.testing.assert_allclose(got[k], ref[k], rtol=1e-5,
+                                           atol=1e-4, err_msg=f"{k} flip={flip}")
+
 
 class TestSchedules:
     def test_lambda_lr_matches_reference_rule(self):
