@@ -254,6 +254,20 @@ def test_data_parallel_flag_rejects_bad_configs():
     assert "not divisible" in proc.stderr
 
 
+def test_synthesize_dataset_script(workdir):
+    """Bulk sharded synthesis CLI: sample from the prior, write the npz."""
+    out = os.path.join(workdir, "dh_synth.npz")
+    proc = run_cli("scripts/synthesize_dataset.py", "--n_poses", "300",
+                   "--batch", "128", "--random_init", "true",
+                   "--Gen_DenseDim", "64", "--jax_platform", "cpu",
+                   "--out", out)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    data = np.load(out)
+    assert data["pose3d"].shape[0] >= 300
+    assert data["pose3d"].shape[1:] == (16, 3)
+    assert np.isfinite(data["pose3d"]).all()
+
+
 @pytest.mark.slow
 def test_graft_entry_contract():
     """__graft_entry__ must expose entry() and dryrun_multichip(n)."""
