@@ -254,6 +254,31 @@ def test_data_parallel_flag_rejects_bad_configs():
     assert "not divisible" in proc.stderr
 
 
+@pytest.mark.slow
+def test_fk_gan_data_parallel_runs(workdir):
+    """run_Fk_GAN with --data_parallel_devices 8: the GAN epoch-scan and
+    posenet passes execute sharded end to end (metric equality with
+    single-device is proven at the epoch_step level in test_parallel.py)."""
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") +
+                        " --xla_force_host_platform_device_count=8").strip()
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "run_Fk_GAN.py"),
+         "--posenet_name", "mlp", "--warmup", "0", "--stages", "1",
+         "--epochs", "2", "--additional_train_epoch", "0",
+         "--Gen_DenseDim", "64", "--Dis_DenseDim_3D", "64",
+         "--Dis_DenseDim_2D", "64", "--data_enhancement_method", "GAN",
+         "--data_parallel_devices", "8",
+         "--checkpoint", os.path.join(workdir, "gandp"), *COMMON],
+        capture_output=True, text=True, timeout=560, cwd=REPO, env=env)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "Data-parallel mesh: 8" in proc.stdout
+    import re
+    m = re.findall(r"H36M P1 ([\d.]+)", proc.stdout)
+    assert m and float(m[-1]) > 0
+
+
 def test_synthesize_dataset_script(workdir):
     """Bulk sharded synthesis CLI: sample from the prior, write the npz."""
     out = os.path.join(workdir, "dh_synth.npz")
