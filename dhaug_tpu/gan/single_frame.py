@@ -247,14 +247,19 @@ def run_gan_epoch(gan: GanBundle, gt2d3d: PoseDataset, target_2d: PoseTarget,
             os.path.join(record_dir,
                          f"34DOF_3GlobalRot_heatmap_{iter_base + 1}.jpg"))
 
-    # epoch-mean critic scalars for the caller's Wasserstein curve
-    summary.record_epoch_scalars({
+    # epoch-mean critic scalars for the caller's Wasserstein curve; g_cost is
+    # NaN off the every-5th generator iterations and may be all-NaN in a
+    # short epoch — skip it then rather than warn/record NaN
+    epoch_scalars = {
         "3d_wasserstein": float(np.nanmean(np.asarray(
             outs[3]["3d_wasserstein"]))),
         "2d_wasserstein": float(np.nanmean(np.asarray(
             outs[3]["2d_wasserstein"]))),
-        "g_cost": float(np.nanmean(np.asarray(outs[3]["g_cost"]))),
-    })
+    }
+    g_cost_vals = np.asarray(outs[3]["g_cost"])
+    if np.isfinite(g_cost_vals).any():
+        epoch_scalars["g_cost"] = float(np.nanmean(g_cost_vals))
+    summary.record_epoch_scalars(epoch_scalars)
 
     # fake buffers stay DEVICE-resident: the posenet phase consumes them with
     # on-device gathers, so no host round trip of ~50 MB per epoch

@@ -373,6 +373,15 @@ def run_video_gan_epoch(gan: VideoGanBundle, gan_loader, batch_size: int,
     epoch_iter = gan_loader.device_epoch() if hasattr(gan_loader, "device_epoch") \
         else gan_loader.next_epoch()
 
+    # reference writer names for the per-batch path, matching the scan
+    # path's scalars (video_GAN_fun.py writer_name= values)
+    tag_of = {"3d_wasserstein": "Fk_d3d_Wasserstein_D",
+              "3d_d_real": "Fk_d3d_D_real", "3d_d_fake": "Fk_d3d_D_fake",
+              "2d_wasserstein": "d2d_Wasserstein_D",
+              "2d_d_real": "d2d_D_real", "2d_d_fake": "d2d_D_fake",
+              "motion_3d_wasserstein": "motion_Fk_d3d_Wasserstein_D",
+              "motion_2d_wasserstein": "motion_d2d_Wasserstein_D"}
+    epoch_sums: dict = {}
     buf3d, buf2d, bufcam = [], [], []
     for cam16, clip3d, clip2d in epoch_iter:
         if clip3d.shape[0] < batch_size:
@@ -391,15 +400,19 @@ def run_video_gan_epoch(gan: VideoGanBundle, gan_loader, batch_size: int,
                 md3d_state.params, md2d_state.params, bone_len, cam_idx,
                 k_g, use_motion=use_motion)
             summary.train_fakepose_iter_num += 1
+            epoch_sums.setdefault("G_cost", []).append(float(gm["g_cost"]))
             if writer is not None:
                 writer.add_scalar("train_G_iter_PoseFk/G_cost",
                                   float(gm["g_cost"]), summary.train_iter_num)
 
+        for mkey, tag in tag_of.items():
+            if mkey in metrics:
+                epoch_sums.setdefault(tag, []).append(float(metrics[mkey]))
         if writer is not None and summary.train_iter_num % 50 == 0:
-            for tag, v in metrics.items():
-                if tag.endswith("wasserstein") or tag.endswith("d_real") \
-                        or tag.endswith("d_fake"):
-                    writer.add_scalar(f"train_G_iter_PoseFk/{tag}", float(v),
+            for mkey, tag in tag_of.items():
+                if mkey in metrics:
+                    writer.add_scalar(f"train_G_iter_PoseFk/{tag}",
+                                      float(metrics[mkey]),
                                       summary.train_iter_num)
 
         # device-resident buffering; single host transfer at epoch end
@@ -411,6 +424,9 @@ def run_video_gan_epoch(gan: VideoGanBundle, gan_loader, batch_size: int,
     gan = gan._replace(gen_state=gen_state, d3d_state=d3d_state,
                        d2d_state=d2d_state, md3d_state=md3d_state,
                        md2d_state=md2d_state)
+    if epoch_sums:
+        summary.record_epoch_scalars(
+            {k: float(np.mean(v)) for k, v in epoch_sums.items() if v})
     if not buf3d:
         return gan, None
     return gan, (np.asarray(jnp.concatenate(buf3d)),
@@ -461,8 +477,10 @@ def _run_video_gan_epoch_scan(gan: VideoGanBundle, loader, batch_size: int,
     summary.train_iter_num += n_batches
 
     scalars = {k: np.asarray(v) for k, v in scalars.items()}
+    # G_cost is NaN off the generator iterations; skip all-NaN columns
     summary.record_epoch_scalars(
-        {k: float(np.nanmean(v)) for k, v in scalars.items()})
+        {k: float(np.nanmean(v)) for k, v in scalars.items()
+         if np.isfinite(v).any()})
     if writer is not None:
         for tag, vals in scalars.items():
             if tag == "G_cost":

@@ -40,17 +40,32 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def _put(x, sh: NamedSharding):
+    """device_put that skips arrays already laid out as requested — the
+    per-epoch placement calls in the training loops must not re-broadcast
+    the static epoch data every epoch."""
+    cur = getattr(x, "sharding", None)
+    if cur is not None and getattr(x, "ndim", None) is not None:
+        try:
+            if cur.is_equivalent_to(sh, x.ndim):
+                return x
+        except Exception:
+            pass
+    return jax.device_put(x, sh)
+
+
 def shard_batch(mesh: Mesh, *arrays):
     """device_put arrays with the batch axis sharded over 'data'."""
     sh = batch_sharding(mesh)
-    out = tuple(jax.device_put(a, sh) for a in arrays)
+    out = tuple(_put(a, sh) for a in arrays)
     return out[0] if len(out) == 1 else out
 
 
 def replicate(mesh: Mesh, tree):
-    """Replicate a parameter pytree across the mesh."""
+    """Replicate a pytree across the mesh (no-op for leaves already
+    replicated on it)."""
     sh = replicated(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+    return jax.tree.map(lambda x: _put(x, sh), tree)
 
 
 def shard_index_rows(mesh: Mesh, arr):
@@ -59,7 +74,7 @@ def shard_index_rows(mesh: Mesh, arr):
     each step slices one row, so the gathered batch comes out sharded over
     the mesh and every downstream matmul/update runs data-parallel with XLA
     inserting the gradient all-reduces."""
-    return jax.device_put(arr, NamedSharding(mesh, P(None, "data")))
+    return _put(arr, NamedSharding(mesh, P(None, "data")))
 
 
 def mesh_from_args(args) -> Optional[Mesh]:

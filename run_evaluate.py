@@ -95,12 +95,17 @@ def main(argv=None):
             mapped = np.asarray(sorted(PW3D_TO_16POINTS_TABLE.values()))
         else:
             mapped = np.arange(16)
-        preds = []
+        # fixed-shape batches: edge-pad the index list so the remainder batch
+        # keeps the same XLA shape (no extra remote compile), one padded pass
         bs = args.batch_size
-        for s in range(0, in2d.shape[0], bs):
-            preds.append(np.asarray(flip_forward(params, batch_stats,
-                                                 jnp.asarray(in2d[s:s + bs]))))
-        pred = np.concatenate(preds)[:, mapped]
+        n = in2d.shape[0]
+        pad_to = -(-n // bs) * bs
+        sel = np.minimum(np.arange(pad_to), n - 1)
+        dev2d = jnp.asarray(in2d[sel])
+        preds = [np.asarray(flip_forward(params, batch_stats,
+                                         dev2d[s:s + bs]))
+                 for s in range(0, pad_to, bs)]
+        pred = np.concatenate(preds)[:n][:, mapped]
         gt = gt3d[:, mapped]
         pred = pred - pred.mean(axis=1, keepdims=True)
         gt = gt - gt.mean(axis=1, keepdims=True)
