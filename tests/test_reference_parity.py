@@ -320,6 +320,181 @@ class TestBoneParity:
         np.testing.assert_allclose(got, expected, atol=1e-5)
 
 
+def _copy_linear(lin, leaf):
+    """torch nn.Linear -> flax Dense leaf (kernel is the transpose)."""
+    leaf["kernel"] = jnp.asarray(lin.weight.detach().numpy().T)
+    leaf["bias"] = jnp.asarray(lin.bias.detach().numpy())
+
+
+def _copy_tower(prelude, blocks, tower_leaf):
+    """Reference prelude+myResNet tower -> a flax ResTower param subtree."""
+    _copy_linear(prelude[0], tower_leaf["DensePrelude_0"]["Dense_0"])
+    for i, blk in enumerate(blocks):
+        _copy_linear(blk.fc1, tower_leaf[f"DenseResBlock_{i}"]["Dense_0"])
+        _copy_linear(blk.fc2, tower_leaf[f"DenseResBlock_{i}"]["Dense_1"])
+
+
+class TestDiscriminatorParity:
+    """Critic forward passes vs the reference with transplanted weights —
+    pins the branch topology (KCS‖pose towers, merge-100, the 2D critic's
+    residual hop at layer 3 and the no-activation layer 4) exactly."""
+
+    _copy = staticmethod(_copy_linear)
+    _copy_tower = staticmethod(_copy_tower)
+
+    def test_3d_critic_forward(self, ref):
+        import types
+
+        from dhaug_tpu.models.discriminators import Fk3DDiscriminator
+        D = 64
+        args = types.SimpleNamespace(Dis_DenseDim_3D=D)
+        torch.manual_seed(0)
+        ref_d = ref.disc.Fk_3D_Discriminator(torch.device("cpu"), args)
+        ref_d.eval()
+
+        mine = Fk3DDiscriminator(dense_dim=D)
+        pose = np.random.RandomState(21).normal(
+            size=(8, 16, 3)).astype(np.float32) * 0.4
+        params = mine.init(jax.random.PRNGKey(0), jnp.asarray(pose))["params"]
+
+        # ResTower_0 = KCS branch (first __call__ site), ResTower_1 = pose
+        self._copy_tower(ref_d.special_KCS_previous,
+                         [ref_d.special_KCS_block1, ref_d.special_KCS_block2,
+                          ref_d.special_KCS_block3], params["ResTower_0"])
+        self._copy_tower(ref_d.previous,
+                         [ref_d.block1, ref_d.block2, ref_d.block3],
+                         params["ResTower_1"])
+        self._copy(ref_d.merge_previous[0],
+                   params["DensePrelude_0"]["Dense_0"])
+        self._copy(ref_d.merge_block1.fc1,
+                   params["DenseResBlock_0"]["Dense_0"])
+        self._copy(ref_d.merge_block1.fc2,
+                   params["DenseResBlock_0"]["Dense_1"])
+        self._copy(ref_d.output, params["Dense_0"])
+
+        with torch.no_grad():
+            expected = ref_d(torch.from_numpy(pose)).numpy()
+        got = np.asarray(mine.apply({"params": params}, jnp.asarray(pose)))
+        np.testing.assert_allclose(got, expected, atol=1e-4)
+
+    def test_2d_critic_forward(self, ref):
+        import types
+
+        from dhaug_tpu.models.discriminators import Fk2DDiscriminator
+        D = 64
+        args = types.SimpleNamespace(Dis_DenseDim_2D=D)
+        torch.manual_seed(1)
+        ref_d = ref.disc.Fk_2D_Discriminator(args)
+        ref_d.eval()
+
+        mine = Fk2DDiscriminator(dense_dim=D)
+        pose = np.random.RandomState(22).normal(
+            size=(8, 16, 2)).astype(np.float32) * 0.4
+        params = mine.init(jax.random.PRNGKey(0), jnp.asarray(pose))["params"]
+        for i, lin in enumerate([ref_d.pose_layer_1, ref_d.pose_layer_2,
+                                 ref_d.pose_layer_3, ref_d.pose_layer_4,
+                                 ref_d.layer_last, ref_d.layer_pred]):
+            self._copy(lin, params[f"Dense_{i}"])
+
+        with torch.no_grad():
+            expected = ref_d(torch.from_numpy(pose)).numpy()
+        got = np.asarray(mine.apply({"params": params}, jnp.asarray(pose)))
+        np.testing.assert_allclose(got, expected, atol=1e-5)
+
+
+class TestMotionDiscriminatorParity:
+    """Video motion critics vs the reference with transplanted weights —
+    pins the 4-branch topology (KCS, diff-KCS, raw-3D, diff-3D) and the 2D
+    critic's root-trajectory-difference branch, incl. the temporal-diff
+    direction (next - current)."""
+
+    _copy = staticmethod(_copy_linear)
+    _copy_tower = staticmethod(_copy_tower)
+
+    def test_motion_3d_critic_forward(self, ref):
+        import types
+
+        from dhaug_tpu.models.discriminators import MotionFk3DDiscriminator
+        D, F = 64, 9
+        args = types.SimpleNamespace(video_Dis_DenseDim_3D=D,
+                                     motion_Dis_whether_use_3dPos_branch=True,
+                                     motion_Dis_whether_use_3dDiff_branch=True)
+        torch.manual_seed(2)
+        ref_d = ref.disc.Video_motion_Fk_3D_Discriminator(
+            torch.device("cpu"), args, F)
+        ref_d.eval()
+
+        mine = MotionFk3DDiscriminator(video_frames=F, dense_dim=D,
+                                       use_pos_branch=True,
+                                       use_diff_branch=True)
+        clip = np.random.RandomState(23).normal(
+            size=(4, F, 16, 3)).astype(np.float32) * 0.4
+        params = mine.init(jax.random.PRNGKey(0), jnp.asarray(clip))["params"]
+
+        towers = [
+            (ref_d.special_KCS_previous, [ref_d.special_KCS_block1,
+                                          ref_d.special_KCS_block2,
+                                          ref_d.special_KCS_block3]),
+            (ref_d.diff_special_KCS_previous, [ref_d.diff_special_KCS_block1,
+                                               ref_d.diff_special_KCS_block2,
+                                               ref_d.diff_special_KCS_block3]),
+            (ref_d.pos_3d_previous, [ref_d.pos_3d_block1, ref_d.pos_3d_block2,
+                                     ref_d.pos_3d_block3]),
+            (ref_d.diff_pos_3d_previous, [ref_d.diff_pos_3d_block1,
+                                          ref_d.diff_pos_3d_block2,
+                                          ref_d.diff_pos_3d_block3]),
+        ]
+        for i, (prelude, blocks) in enumerate(towers):
+            self._copy_tower(prelude, blocks, params[f"ResTower_{i}"])
+        self._copy(ref_d.kcs_merge_previous[0],
+                   params["DensePrelude_0"]["Dense_0"])
+        self._copy(ref_d.kcs_merge_block1.fc1,
+                   params["DenseResBlock_0"]["Dense_0"])
+        self._copy(ref_d.kcs_merge_block1.fc2,
+                   params["DenseResBlock_0"]["Dense_1"])
+        self._copy(ref_d.kcs_output, params["Dense_0"])
+
+        with torch.no_grad():
+            expected = ref_d(torch.from_numpy(clip)).numpy()
+        got = np.asarray(mine.apply({"params": params}, jnp.asarray(clip)))
+        np.testing.assert_allclose(got, expected, atol=2e-4)
+
+    def test_motion_2d_critic_forward(self, ref):
+        import types
+
+        from dhaug_tpu.models.discriminators import MotionFk2DDiscriminator
+        D, F = 64, 9
+        args = types.SimpleNamespace(video_Dis_DenseDim_2D=D)
+        torch.manual_seed(3)
+        ref_d = ref.disc.Video_motion_Fk_2D_Discriminator(
+            torch.device("cpu"), args, F)
+        ref_d.eval()
+
+        mine = MotionFk2DDiscriminator(video_frames=F, dense_dim=D)
+        clip = np.random.RandomState(24).normal(
+            size=(4, F, 16, 2)).astype(np.float32) * 0.4
+        params = mine.init(jax.random.PRNGKey(0), jnp.asarray(clip))["params"]
+
+        self._copy_tower(ref_d.pos_2d_previous,
+                         [ref_d.pos_2d_block1, ref_d.pos_2d_block2,
+                          ref_d.pos_2d_block3], params["ResTower_0"])
+        self._copy_tower(ref_d.root_diff_2d_previous,
+                         [ref_d.root_diff_2d_block1, ref_d.root_diff_2d_block2,
+                          ref_d.root_diff_2d_block3], params["ResTower_1"])
+        self._copy(ref_d.merge_previous[0],
+                   params["DensePrelude_0"]["Dense_0"])
+        self._copy(ref_d.merge_block1.fc1,
+                   params["DenseResBlock_0"]["Dense_0"])
+        self._copy(ref_d.merge_block1.fc2,
+                   params["DenseResBlock_0"]["Dense_1"])
+        self._copy(ref_d.merge_output, params["Dense_0"])
+
+        with torch.no_grad():
+            expected = ref_d(torch.from_numpy(clip)).numpy()
+        got = np.asarray(mine.apply({"params": params}, jnp.asarray(clip)))
+        np.testing.assert_allclose(got, expected, atol=1e-4)
+
+
 class TestGeneratorParity:
     """End-to-end Fk_Generator.forward vs FkGeneratorNet + synthesize_poses
     with transplanted weights — covers the 31->37 angle scatter, the
