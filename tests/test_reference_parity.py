@@ -495,6 +495,255 @@ class TestMotionDiscriminatorParity:
         np.testing.assert_allclose(got, expected, atol=1e-4)
 
 
+class TestPosenetParity:
+    """The flagship single-frame posenet (Martinez MLP) vs the reference
+    with transplanted weights AND BatchNorm running statistics — pins the
+    stage topology, BN placement, and the 15->16 hip zero-pad."""
+
+    @staticmethod
+    def _copy_bn(bn, params_leaf, stats_leaf):
+        params_leaf["scale"] = jnp.asarray(bn.weight.detach().numpy())
+        params_leaf["bias"] = jnp.asarray(bn.bias.detach().numpy())
+        stats_leaf["mean"] = jnp.asarray(bn.running_mean.detach().numpy())
+        stats_leaf["var"] = jnp.asarray(bn.running_var.detach().numpy())
+
+    def test_mlp_forward(self, ref):
+        import importlib
+
+        from dhaug_tpu.models.posenets import LinearModel
+        ref_mlp_mod = importlib.import_module(
+            "models_baseline.mlp.linear_model")
+        torch.manual_seed(4)
+        ref_m = ref_mlp_mod.LinearModel(16 * 2, 15 * 3, linear_size=64,
+                                        num_stage=2, p_dropout=0.5)
+        # non-trivial BN running stats
+        rng = np.random.RandomState(25)
+        for mod in ref_m.modules():
+            if isinstance(mod, torch.nn.BatchNorm1d):
+                mod.running_mean.copy_(torch.from_numpy(
+                    rng.normal(scale=0.2, size=mod.num_features).astype(np.float32)))
+                mod.running_var.copy_(torch.from_numpy(
+                    rng.uniform(0.5, 1.5, mod.num_features).astype(np.float32)))
+        ref_m.eval()
+
+        mine = LinearModel(linear_size=64, num_stage=2, dropout=0.5)
+        x = rng.normal(size=(8, 16, 2)).astype(np.float32) * 0.3
+        variables = mine.init({"params": jax.random.PRNGKey(0),
+                               "dropout": jax.random.PRNGKey(1)},
+                              jnp.asarray(x), train=False)
+        params = variables["params"]
+        stats = variables["batch_stats"]
+
+        _copy_linear(ref_m.w1, params["Dense_0"])
+        self._copy_bn(ref_m.batch_norm1, params["BatchNorm_0"],
+                      stats["BatchNorm_0"])
+        for s, stage in enumerate(ref_m.linear_stages):
+            leaf_p = params[f"_LinearStage_{s}"]
+            leaf_s = stats[f"_LinearStage_{s}"]
+            _copy_linear(stage.w1, leaf_p["Dense_0"])
+            self._copy_bn(stage.batch_norm1, leaf_p["BatchNorm_0"],
+                          leaf_s["BatchNorm_0"])
+            _copy_linear(stage.w2, leaf_p["Dense_1"])
+            self._copy_bn(stage.batch_norm2, leaf_p["BatchNorm_1"],
+                          leaf_s["BatchNorm_1"])
+        _copy_linear(ref_m.w2, params["Dense_1"])
+
+        with torch.no_grad():
+            expected = ref_m(torch.from_numpy(x)).numpy()
+        got = np.asarray(mine.apply({"params": params, "batch_stats": stats},
+                                    jnp.asarray(x), train=False))
+        assert got.shape == (8, 16, 3)
+        np.testing.assert_allclose(got[:, 0], 0.0)  # hip zero-pad
+        np.testing.assert_allclose(got, expected, atol=1e-5)
+
+
+def _copy_conv1d(conv, leaf):
+    """torch Conv1d (C_out, C_in, k) -> flax Conv kernel (k, C_in, C_out)."""
+    leaf["kernel"] = jnp.asarray(
+        conv.weight.detach().numpy().transpose(2, 1, 0))
+    if conv.bias is not None:
+        leaf["bias"] = jnp.asarray(conv.bias.detach().numpy())
+
+
+def _copy_bn1d(bn, params_leaf, stats_leaf):
+    params_leaf["scale"] = jnp.asarray(bn.weight.detach().numpy())
+    params_leaf["bias"] = jnp.asarray(bn.bias.detach().numpy())
+    stats_leaf["mean"] = jnp.asarray(bn.running_mean.detach().numpy())
+    stats_leaf["var"] = jnp.asarray(bn.running_var.detach().numpy())
+
+
+def _transplant_temporal(ref_m, params, stats, n_blocks):
+    _copy_conv1d(ref_m.expand_conv, params["expand_conv"])
+    _copy_bn1d(ref_m.expand_bn, params["expand_bn"], stats["expand_bn"])
+    for i in range(n_blocks):
+        _copy_conv1d(ref_m.layers_conv[2 * i], params[f"conv_{i}a"])
+        _copy_bn1d(ref_m.layers_bn[2 * i], params[f"bn_{i}a"],
+                   stats[f"bn_{i}a"])
+        _copy_conv1d(ref_m.layers_conv[2 * i + 1], params[f"conv_{i}b"])
+        _copy_bn1d(ref_m.layers_bn[2 * i + 1], params[f"bn_{i}b"],
+                   stats[f"bn_{i}b"])
+    _copy_conv1d(ref_m.shrink, params["shrink"])
+
+
+def _randomize_bn_stats(ref_m, rng):
+    for mod in ref_m.modules():
+        if isinstance(mod, torch.nn.BatchNorm1d):
+            mod.running_mean.copy_(torch.from_numpy(
+                rng.normal(scale=0.2, size=mod.num_features).astype(np.float32)))
+            mod.running_var.copy_(torch.from_numpy(
+                rng.uniform(0.5, 1.5, mod.num_features).astype(np.float32)))
+
+
+class TestSemGCNParity:
+    def test_forward_with_transplanted_weights(self, ref):
+        """SemGCN vs the reference on the same adjacency support: learned
+        per-edge softmax weights (row-major nonzero ordering both sides),
+        self/neighbour projections, BN-over-channels, residual GCN blocks."""
+        import importlib
+
+        from dhaug_tpu.models.posenets import SemGCN, adjacency_from_edges
+        sem = importlib.import_module("models_baseline.gcn.sem_gcn")
+
+        edges = [(0, 1), (1, 2), (2, 3), (0, 4), (4, 5), (5, 6), (0, 7),
+                 (7, 8), (8, 9), (8, 10), (10, 11), (11, 12), (8, 13),
+                 (13, 14), (14, 15)]
+        adj = adjacency_from_edges(16, edges)
+
+        torch.manual_seed(7)
+        ref_m = sem.SemGCN(torch.from_numpy(adj), 32, num_layers=2,
+                           p_dropout=0.25)
+        rng = np.random.RandomState(28)
+        for mod in ref_m.modules():
+            if isinstance(mod, torch.nn.BatchNorm1d):
+                mod.running_mean.copy_(torch.from_numpy(
+                    rng.normal(scale=0.2, size=mod.num_features).astype(np.float32)))
+                mod.running_var.copy_(torch.from_numpy(
+                    rng.uniform(0.5, 1.5, mod.num_features).astype(np.float32)))
+            if isinstance(mod, sem.SemGraphConv):
+                mod.e.data.copy_(torch.from_numpy(
+                    rng.normal(scale=0.5, size=mod.e.shape).astype(np.float32)))
+        ref_m.eval()
+
+        mine = SemGCN(adj=adj, hid_dim=32, num_layers=2, dropout=0.25)
+        x = rng.normal(size=(6, 16, 2)).astype(np.float32) * 0.3
+        variables = mine.init({"params": jax.random.PRNGKey(0),
+                               "dropout": jax.random.PRNGKey(1)},
+                              jnp.asarray(x), train=False)
+        params, stats = variables["params"], variables["batch_stats"]
+
+        def copy_gconv(ref_g, leaf):
+            leaf["W"] = jnp.asarray(ref_g.W.detach().numpy())
+            leaf["e"] = jnp.asarray(ref_g.e.detach().numpy().reshape(-1))
+            leaf["bias"] = jnp.asarray(ref_g.bias.detach().numpy())
+
+        def copy_block(ref_block, p_leaf, s_leaf):
+            copy_gconv(ref_block.gconv, p_leaf["SemGraphConv_0"])
+            bn = ref_block.bn
+            p_leaf["BatchNorm_0"]["scale"] = jnp.asarray(bn.weight.detach().numpy())
+            p_leaf["BatchNorm_0"]["bias"] = jnp.asarray(bn.bias.detach().numpy())
+            s_leaf["BatchNorm_0"]["mean"] = jnp.asarray(bn.running_mean.detach().numpy())
+            s_leaf["BatchNorm_0"]["var"] = jnp.asarray(bn.running_var.detach().numpy())
+
+        copy_block(ref_m.gconv_input[0], params["_GraphConvBlock_0"],
+                   stats["_GraphConvBlock_0"])
+        idx = 1
+        for res_block in ref_m.gconv_layers:
+            for g in (res_block.gconv1, res_block.gconv2):
+                copy_block(g, params[f"_GraphConvBlock_{idx}"],
+                           stats[f"_GraphConvBlock_{idx}"])
+                idx += 1
+        copy_gconv(ref_m.gconv_output, params["SemGraphConv_0"])
+
+        with torch.no_grad():
+            expected = ref_m(torch.from_numpy(x)).numpy()
+        got = np.asarray(mine.apply({"params": params, "batch_stats": stats},
+                                    jnp.asarray(x), train=False))
+        np.testing.assert_allclose(got, expected, atol=1e-5)
+
+
+class TestVideoPoseParity:
+    """The VideoPose temporal conv family vs the reference with transplanted
+    weights: the single-frame widths-all-1 net, the multi-frame strided
+    training net, AND the dilated eval net sharing the SAME weights — the
+    twins' weight interchangeability is verified against the reference pair
+    (model_pos_preparation.py:42-50)."""
+
+    def test_single_frame_videopose(self, ref):
+        import importlib
+
+        from dhaug_tpu.models.posenets import TemporalPoseNet
+        vp = importlib.import_module(
+            "models_baseline.videopose.model_VideoPose3D")
+        torch.manual_seed(5)
+        ref_m = vp.TemporalModelOptimized1f(16, 2, 15, [1, 1, 1],
+                                            dropout=0.25, channels=64)
+        rng = np.random.RandomState(26)
+        _randomize_bn_stats(ref_m, rng)
+        ref_m.eval()
+
+        mine = TemporalPoseNet(filter_widths=(1, 1, 1), out_joints=15,
+                               pad_hip_joint=True, channels=64, strided=True)
+        x = rng.normal(size=(8, 16, 2)).astype(np.float32) * 0.3
+        variables = mine.init({"params": jax.random.PRNGKey(0),
+                               "dropout": jax.random.PRNGKey(1)},
+                              jnp.asarray(x), train=False)
+        params, stats = variables["params"], variables["batch_stats"]
+        _transplant_temporal(ref_m, params, stats, n_blocks=2)
+
+        with torch.no_grad():
+            expected = ref_m(torch.from_numpy(x)).numpy()
+        got = np.asarray(mine.apply({"params": params, "batch_stats": stats},
+                                    jnp.asarray(x), train=False))
+        np.testing.assert_allclose(got[:, 0], 0.0)
+        np.testing.assert_allclose(got, expected, atol=1e-5)
+
+    def test_multiframe_strided_and_dilated_twins(self, ref):
+        import importlib
+
+        from dhaug_tpu.models.posenets import TemporalPoseNet
+        mf = importlib.import_module("models_Fk_GAN.mulit_farme_videopose")
+        torch.manual_seed(6)
+        ref_train = mf.multiFrame_TemporalModelOptimized1f(
+            16, 2, 16, [3, 3], dropout=0.25, channels=64)
+        rng = np.random.RandomState(27)
+        _randomize_bn_stats(ref_train, rng)
+        ref_train.eval()
+        # the reference eval twin receives the training net's weights
+        ref_eval = mf.multiFrame_TemporalModel(16, 2, 16, [3, 3],
+                                               dropout=0.25, channels=64)
+        ref_eval.load_state_dict(ref_train.state_dict())
+        ref_eval.eval()
+
+        # one transplanted param tree serves BOTH of my twins
+        mine_train = TemporalPoseNet(filter_widths=(3, 3), out_joints=16,
+                                     channels=64, strided=True)
+        clip = rng.normal(size=(4, 9, 16, 2)).astype(np.float32) * 0.3
+        variables = mine_train.init({"params": jax.random.PRNGKey(0),
+                                     "dropout": jax.random.PRNGKey(1)},
+                                    jnp.asarray(clip), train=False)
+        params, stats = variables["params"], variables["batch_stats"]
+        _transplant_temporal(ref_train, params, stats, n_blocks=1)
+
+        with torch.no_grad():
+            exp_train = ref_train(torch.from_numpy(clip)).numpy()
+        got_train = np.asarray(mine_train.apply(
+            {"params": params, "batch_stats": stats}, jnp.asarray(clip),
+            train=False))
+        np.testing.assert_allclose(got_train, exp_train, atol=1e-5)
+
+        # dilated eval twin on a longer sequence (T=15 -> 7 output frames)
+        mine_eval = TemporalPoseNet(filter_widths=(3, 3), out_joints=16,
+                                    channels=64, strided=False)
+        seq = rng.normal(size=(2, 15, 16, 2)).astype(np.float32) * 0.3
+        with torch.no_grad():
+            exp_eval = ref_eval(torch.from_numpy(seq)).numpy()
+        got_eval = np.asarray(mine_eval.apply(
+            {"params": params, "batch_stats": stats}, jnp.asarray(seq),
+            train=False))
+        assert got_eval.shape == (2, 7, 16, 3)
+        np.testing.assert_allclose(got_eval, exp_eval, atol=1e-5)
+
+
 class TestGeneratorParity:
     """End-to-end Fk_Generator.forward vs FkGeneratorNet + synthesize_poses
     with transplanted weights — covers the 31->37 angle scatter, the
