@@ -208,12 +208,14 @@ def run_gan_epoch(gan: GanBundle, gt2d3d: PoseDataset, target_2d: PoseTarget,
     iter_base = summary.train_iter_num
     summary.train_iter_num += n_batches
 
+    # stacked per-iteration metrics, ONE host fetch serving both the writer
+    # block and the epoch-mean scalars below
+    scalars = {k: np.asarray(v) for k, v in scalars.items()}
+
     if writer is not None:
-        # stacked per-iteration metrics, one host fetch for all of them; tag
-        # names follow the reference's writer names
+        # tag names follow the reference's writer names
         # (model_fk_gan_train.py:225-228: Fk_d3d/Fk_d2d _D_real/_D_fake/
         # _Wasserstein_D under train_G_iter_PoseFk/)
-        scalars = {k: np.asarray(v) for k, v in scalars.items()}
         tag_of = {"3d_d_real": "Fk_d3d_D_real", "3d_d_fake": "Fk_d3d_D_fake",
                   "3d_wasserstein": "Fk_d3d_Wasserstein_D",
                   "3d_d_cost": "Fk_d3d_D_cost",
@@ -247,16 +249,15 @@ def run_gan_epoch(gan: GanBundle, gt2d3d: PoseDataset, target_2d: PoseTarget,
             os.path.join(record_dir,
                          f"34DOF_3GlobalRot_heatmap_{iter_base + 1}.jpg"))
 
-    # epoch-mean critic scalars for the caller's Wasserstein curve; g_cost is
-    # NaN off the every-5th generator iterations and may be all-NaN in a
-    # short epoch — skip it then rather than warn/record NaN
+    # epoch-mean critic scalars for the caller's Wasserstein curve (reusing
+    # the host copies fetched above); g_cost is NaN off the every-5th
+    # generator iterations and may be all-NaN in a short epoch — skip it then
+    # rather than warn/record NaN
     epoch_scalars = {
-        "3d_wasserstein": float(np.nanmean(np.asarray(
-            outs[3]["3d_wasserstein"]))),
-        "2d_wasserstein": float(np.nanmean(np.asarray(
-            outs[3]["2d_wasserstein"]))),
+        "3d_wasserstein": float(np.nanmean(scalars["3d_wasserstein"])),
+        "2d_wasserstein": float(np.nanmean(scalars["2d_wasserstein"])),
     }
-    g_cost_vals = np.asarray(outs[3]["g_cost"])
+    g_cost_vals = scalars["g_cost"]
     if np.isfinite(g_cost_vals).any():
         epoch_scalars["g_cost"] = float(np.nanmean(g_cost_vals))
     summary.record_epoch_scalars(epoch_scalars)

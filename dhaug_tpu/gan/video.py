@@ -357,7 +357,7 @@ def run_video_gan_epoch(gan: VideoGanBundle, gan_loader, batch_size: int,
     When the loader is a full-window ChunkWindows, the whole epoch runs as
     one compiled scan program with on-device window gathering; otherwise a
     per-batch dispatch loop is used.  ``mesh`` (--data_parallel_devices)
-    shards the scan path's per-iteration batch over 'data'."""
+    shards the per-iteration batch over 'data' on BOTH paths."""
     steps = gan.steps
 
     if getattr(gan_loader, "full_3d_window", False):
@@ -368,6 +368,15 @@ def run_video_gan_epoch(gan: VideoGanBundle, gan_loader, batch_size: int,
     gen_state = gan.gen_state
     d3d_state, d2d_state = gan.d3d_state, gan.d2d_state
     md3d_state, md2d_state = gan.md3d_state, gan.md2d_state
+
+    # Honour the data mesh on this path too (mesh_from_args guarantees the
+    # user never silently gets one chip): states replicated once, each
+    # per-batch clip sharded over 'data' below.
+    if mesh is not None:
+        from dhaug_tpu.parallel.mesh import replicate
+        gen_state, d3d_state, d2d_state, md3d_state, md2d_state = (
+            replicate(mesh, s) for s in
+            (gen_state, d3d_state, d2d_state, md3d_state, md2d_state))
 
     # device-resident windows when the loader supports them (ChunkWindows)
     epoch_iter = gan_loader.device_epoch() if hasattr(gan_loader, "device_epoch") \
@@ -387,10 +396,17 @@ def run_video_gan_epoch(gan: VideoGanBundle, gan_loader, batch_size: int,
         if clip3d.shape[0] < batch_size:
             continue
         key, k_c, k_g = jax.random.split(key, 3)
+        clip3d_j = jnp.asarray(clip3d)
+        cam16_j = jnp.asarray(cam16)
+        clip2d_j = jnp.asarray(clip2d)
+        if mesh is not None:
+            from dhaug_tpu.parallel.mesh import shard_batch
+            clip3d_j, cam16_j, clip2d_j = shard_batch(
+                mesh, clip3d_j, cam16_j, clip2d_j)
         (d3d_state, d2d_state, md3d_state, md2d_state, cam_idx, bone_len,
          fake_cam3d, fake_2d, intr, metrics) = steps.critics_step(
             d3d_state, d2d_state, md3d_state, md2d_state, gen_state.params,
-            jnp.asarray(clip3d), jnp.asarray(cam16), jnp.asarray(clip2d),
+            clip3d_j, cam16_j, clip2d_j,
             k_c, use_motion=use_motion)
         summary.train_discrim_iter_num += 1
 

@@ -162,10 +162,13 @@ def _fk_kernel(angles_ref, bone_ref, grot_ref, root_ref, out_ref):
 
 
 def fk_pallas_supported() -> bool:
-    """True when the fused kernel can run natively (a real TPU backend; the
-    CPU backend only supports interpret mode, which is for tests)."""
+    """True when the fused kernel can run natively — TPU backends only (the
+    kernel lowers through Mosaic; a GPU or other non-TPU backend would fail
+    at compile time, and the CPU backend only supports interpret mode, which
+    is for tests).  This environment's tunneled backend reports platform
+    'tpu'."""
     try:
-        return jax.devices()[0].platform not in ("cpu",)
+        return jax.devices()[0].platform in ("tpu",)
     except Exception:  # pragma: no cover - backend init failure
         return False
 

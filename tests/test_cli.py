@@ -108,7 +108,10 @@ def test_bench_json_contract(workdir):
     # the preceding line carries the GAN training-step metric + MFU estimate
     gan = json.loads(lines[-2])
     assert gan["unit"] == "iters/s" and gan["value"] > 0
-    assert 0 < gan["mfu_est"] < 1  # rounded to 6 dp; tiny-but-positive on CPU
+    # mfu_est is rounded to 6 dp and may round to 0.0 on a slow CPU run with
+    # the scaled-down shapes — assert non-negative + the raw timing instead
+    assert gan["mfu_est"] >= 0 and gan["mfu_est"] < 1
+    assert gan["ms_per_iter"] > 0
 
 
 @pytest.mark.slow
