@@ -112,14 +112,18 @@ def make_critic_step(critic_apply, tx, lambda_gp: float):
     (the matmuls themselves are microseconds at these shapes)."""
 
     @jax.jit
-    def step(state: NetState, real, fake, key):
+    def step(state: NetState, real, fake, key, alpha=None):
+        # ``alpha`` (B, 1) overrides the GP interpolation draw — used by the
+        # update-level reference-parity tests to inject the reference's
+        # torch.rand(B, 1) (Fk_discriminator.py:211); production passes None.
         B = real.shape[0]
 
         def loss_fn(params):
             r = real.reshape((B, -1))
             f = fake.reshape((B, -1))
-            alpha = jax.random.uniform(key, (B, 1), dtype=r.dtype)
-            interp = alpha * r + (1.0 - alpha) * f
+            a = (jax.random.uniform(key, (B, 1), dtype=r.dtype)
+                 if alpha is None else alpha)
+            interp = a * r + (1.0 - a) * f
             stacked = jnp.concatenate([r, f, interp]).reshape(
                 (3 * B,) + real.shape[1:])
 
@@ -163,14 +167,18 @@ def make_single_frame_steps(gen_apply, d3d_apply, d2d_apply,
     n_cams = cam_quats.shape[0]
 
     @functools.partial(jax.jit, static_argnames=("use_pallas",))
-    def synth_fake(gen_params, bone_len, key, use_pallas: bool = False):
-        """noise -> fake world pose (B, 16, 3) + scaler sampling."""
+    def synth_fake(gen_params, bone_len, key, use_pallas: bool = False,
+                   noise=None, scaler8=None):
+        """noise -> fake world pose (B, 16, 3) + scaler sampling.  ``noise``
+        / ``scaler8`` override the random draws (reference-parity tests)."""
         B = bone_len.shape[0]
         k_noise, k_scaler = jax.random.split(key)
-        noise = jax.random.normal(k_noise, (B, hyper.noise_dim))
+        if noise is None:
+            noise = jax.random.normal(k_noise, (B, hyper.noise_dim))
         head = gen_apply(gen_params, noise)
-        scaler = sample_scaler8(k_scaler, B, hyper.bone_len_scaler)
-        return synthesize_poses(head, bone_len, scaler, gen_cfg,
+        if scaler8 is None:
+            scaler8 = sample_scaler8(k_scaler, B, hyper.bone_len_scaler)
+        return synthesize_poses(head, bone_len, scaler8, gen_cfg,
                                 use_pallas=use_pallas)
 
     def critics_step(d3d_state, d2d_state, gen_params,
@@ -231,15 +239,17 @@ def make_single_frame_steps(gen_apply, d3d_apply, d2d_apply,
 
     @jax.jit
     def generator_step(gen_state: NetState, d3d_params, d2d_params,
-                       bone_len, cam_idx, key):
-        """Every-5th-iteration generator update (model_fk_gan_train.py:415-484)."""
+                       bone_len, cam_idx, key, noise=None, scaler8=None):
+        """Every-5th-iteration generator update (model_fk_gan_train.py:415-484).
+        ``noise``/``scaler8`` override the random draws (parity tests)."""
         q = cam_quats[cam_idx][None]
         t = cam_trans[cam_idx][None]
         intr = jnp.broadcast_to(cam_intrs[cam_idx][None],
                                 (bone_len.shape[0], 9))
 
         def loss_fn(params):
-            fake_world = synth_fake(params, bone_len, key)
+            fake_world = synth_fake(params, bone_len, key,
+                                    noise=noise, scaler8=scaler8)
             fake_cam3d = world_to_camera_batch(fake_world, q, t)
             fake_2d = project_to_2d(fake_cam3d, intr)
             fake_rel = fake_world - fake_world[:, :1]

@@ -271,7 +271,9 @@ class _MHABlock(nn.Module):
         x = x + h
         h = nn.LayerNorm(epsilon=1e-6)(x)
         h = nn.Dense(int(self.dim * self.mlp_ratio))(h)
-        h = nn.gelu(h)
+        # exact (erf) GELU — torch nn.GELU's default, used by the reference's
+        # Mlp (model_poseformer.py:20); flax's default is the tanh approx
+        h = nn.gelu(h, approximate=False)
         h = nn.Dropout(self.dropout, deterministic=not train)(h)
         h = nn.Dense(self.dim)(h)
         h = nn.Dropout(self.dropout, deterministic=not train)(h)
@@ -330,6 +332,9 @@ class PoseFormer(nn.Module):
         frame_bias = self.param("frame_bias", nn.initializers.zeros, (1,))
         h = jnp.einsum("bfe,fo->boe", h, weights) + frame_bias[:, None]
 
-        h = nn.LayerNorm(epsilon=1e-6)(h)
+        # the reference's head LayerNorm is a plain nn.LayerNorm (torch
+        # default eps 1e-5), NOT the eps-1e-6 partial used by the blocks
+        # (model_poseformer.py:142-145)
+        h = nn.LayerNorm(epsilon=1e-5)(h)
         out = nn.Dense(J * 3, name="head")(h)
         return out.reshape((B, 1, J, 3))

@@ -744,6 +744,93 @@ class TestVideoPoseParity:
         np.testing.assert_allclose(got_eval, exp_eval, atol=1e-5)
 
 
+class TestPoseFormerParity:
+    """PoseTransformer vs the reference executed with a behaviour-exact timm
+    stub (tests/ref_import.py) — closes the one zoo member whose fidelity
+    previously rested on transcription.  Pins the spatial/temporal block
+    stack, qkv packing, the weighted-mean Conv1d over frames, and the head
+    LayerNorm's eps-1e-5 (vs the blocks' 1e-6)
+    (model_poseformer.py:85-190)."""
+
+    @staticmethod
+    def _copy_ln(ln, leaf):
+        leaf["scale"] = jnp.asarray(ln.weight.detach().numpy())
+        leaf["bias"] = jnp.asarray(ln.bias.detach().numpy())
+
+    @classmethod
+    def _copy_block(cls, blk, leaf, dim, heads):
+        hd = dim // heads
+        cls._copy_ln(blk.norm1, leaf["LayerNorm_0"])
+        w = blk.attn.qkv.weight.detach().numpy()       # (3C, C)
+        b = blk.attn.qkv.bias.detach().numpy()         # (3C,)
+        mha = leaf["MultiHeadDotProductAttention_0"]
+        for i, name in enumerate(("query", "key", "value")):
+            mha[name]["kernel"] = jnp.asarray(
+                w[i * dim:(i + 1) * dim].T.reshape(dim, heads, hd))
+            mha[name]["bias"] = jnp.asarray(
+                b[i * dim:(i + 1) * dim].reshape(heads, hd))
+        wp = blk.attn.proj.weight.detach().numpy()     # (C, C)
+        mha["out"]["kernel"] = jnp.asarray(wp.T.reshape(heads, hd, dim))
+        mha["out"]["bias"] = jnp.asarray(blk.attn.proj.bias.detach().numpy())
+        cls._copy_ln(blk.norm2, leaf["LayerNorm_1"])
+        _copy_linear(blk.mlp.fc1, leaf["Dense_0"])
+        _copy_linear(blk.mlp.fc2, leaf["Dense_1"])
+
+    def test_forward_with_transplanted_weights(self, ref):
+        from dhaug_tpu.models.posenets import PoseFormer
+        F, J, C, depth, heads = 9, 16, 16, 2, 4
+        torch.manual_seed(8)
+        ref_m = ref.poseformer.PoseTransformer(
+            num_frame=F, num_joints=J, in_chans=2, embed_dim_ratio=C,
+            depth=depth, num_heads=heads, mlp_ratio=2.0, qkv_bias=True,
+            drop_path_rate=0.2)
+        # non-trivial positional embeddings (initialized to zeros otherwise)
+        rng = np.random.RandomState(29)
+        with torch.no_grad():
+            ref_m.Spatial_pos_embed.copy_(torch.from_numpy(
+                rng.normal(scale=0.1, size=(1, J, C)).astype(np.float32)))
+            ref_m.Temporal_pos_embed.copy_(torch.from_numpy(
+                rng.normal(scale=0.1, size=(1, F, C * J)).astype(np.float32)))
+        ref_m.eval()
+
+        mine = PoseFormer(num_frame=F, num_joints=J, embed_dim_ratio=C,
+                          depth=depth, num_heads=heads, mlp_ratio=2.0,
+                          drop_path_rate=0.2)
+        x = rng.normal(size=(4, F, J, 2)).astype(np.float32) * 0.3
+        variables = mine.init({"params": jax.random.PRNGKey(0),
+                               "dropout": jax.random.PRNGKey(1)},
+                              jnp.asarray(x), train=False)
+        p = variables["params"]
+
+        _copy_linear(ref_m.Spatial_patch_to_embedding, p["patch_embed"])
+        p["spatial_pos_embed"] = jnp.asarray(
+            ref_m.Spatial_pos_embed.detach().numpy())
+        p["temporal_pos_embed"] = jnp.asarray(
+            ref_m.Temporal_pos_embed.detach().numpy())
+        embed_dim = C * J
+        for i in range(depth):
+            self._copy_block(ref_m.Spatial_blocks[i], p[f"_MHABlock_{i}"],
+                             C, heads)
+            self._copy_block(ref_m.blocks[i], p[f"_MHABlock_{depth + i}"],
+                             embed_dim, heads)
+        self._copy_ln(ref_m.Spatial_norm, p["spatial_norm"])
+        self._copy_ln(ref_m.Temporal_norm, p["temporal_norm"])
+        # weighted_mean Conv1d(F, 1, 1): weight (1, F, 1) -> (F, 1)
+        p["frame_weights"] = jnp.asarray(
+            ref_m.weighted_mean.weight.detach().numpy()[0])
+        p["frame_bias"] = jnp.asarray(
+            ref_m.weighted_mean.bias.detach().numpy())
+        self._copy_ln(ref_m.head[0], p["LayerNorm_0"])
+        _copy_linear(ref_m.head[1], p["head"])
+
+        with torch.no_grad():
+            expected = ref_m(torch.from_numpy(x)).numpy()
+        got = np.asarray(mine.apply({"params": p}, jnp.asarray(x),
+                                    train=False))
+        assert got.shape == expected.shape == (4, 1, J, 3)
+        np.testing.assert_allclose(got, expected, atol=1e-5)
+
+
 class TestGeneratorParity:
     """End-to-end Fk_Generator.forward vs FkGeneratorNet + synthesize_poses
     with transplanted weights — covers the 31->37 angle scatter, the
