@@ -45,8 +45,15 @@ DENSE = 1000
 ITERS = 5
 
 GAN_BATCH = 1024   # production batch (README.md:99)
-GAN_SCAN = 20      # GAN iterations per dispatch (one mini scan-epoch)
+GAN_SCAN = 40      # GAN iterations per dispatch (production epochs scan 75+)
 GAN_ITERS = 3      # timed dispatches
+
+# Same-machine round-2 TPU measurement of the synthesis line, used as the
+# in-process control: the ratio of this run's synthesis throughput to this
+# nominal distinguishes tunnel-load noise (both lines move together) from a
+# real GAN-path regression (only the GAN line moves).  CLAUDE.md documents
+# the +-25-30% run-to-run tunnel variance this guards against.
+NOMINAL_TPU_POSES_PER_SEC = 6.4e6
 
 # Peak MXU throughput for MFU estimation.  TPU v5e: 197 TFLOP/s bf16-mult /
 # fp32-accumulate (the default precision the trunk matmuls run at).
@@ -112,7 +119,7 @@ def main():
     per_call = statistics.median(times)
 
     pps = BATCH * SCAN_STEPS / per_call
-    gan = bench_gan_training(on_tpu)
+    gan = bench_gan_training(on_tpu, control_pps=pps)
     print(json.dumps(gan))
     result = {
         "metric": "augmented poses/sec/chip (FK-GAN sampling)",
@@ -152,10 +159,12 @@ def _gan_iter_flops(B: int, dense: int) -> float:
     return critic_updates * per_critic + gen_synth + gen_update
 
 
-def bench_gan_training(on_tpu: bool):
+def bench_gan_training(on_tpu: bool, control_pps: float = 0.0):
     """Pipelined WGAN-GP training throughput: GAN_SCAN iterations of the
     production epoch program (critics every iteration with gradient penalty
-    and flip duplication, generator every 5th) as one dispatch."""
+    and flip duplication, generator every 5th) as one dispatch.  The net
+    states are THREADED across dispatches (epoch_step donates them on TPU),
+    exactly as the training loop runs epochs."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -194,14 +203,18 @@ def bench_gan_training(on_tpu: bool):
     devt2d = jnp.asarray(rng.normal(size=(N, 16, 2)).astype(np.float32) * 0.3)
     idx = jnp.asarray(np.arange(N).reshape(GAN_SCAN, B))
 
+    # states are threaded (epoch_step donates them on TPU; a fresh
+    # make_state per dispatch would reuse donated buffers)
+    states = [make_state(txs[0], gp), make_state(txs[1], p3),
+              make_state(txs[2], p2)]
+
     def run(k):
-        g = make_state(txs[0], gp)
-        s3 = make_state(txs[1], p3)
-        s2 = make_state(txs[2], p2)
-        out = steps.epoch_step(g, s3, s2, dev3d, devcam, devt2d, idx, idx,
-                               jnp.asarray(0, jnp.int32), k)
+        g, s3, s2, out = steps.epoch_step(
+            states[0], states[1], states[2], dev3d, devcam, devt2d, idx, idx,
+            jnp.asarray(0, jnp.int32), k)
+        states[0], states[1], states[2] = g, s3, s2
         # scalar fetch = the only true sync in this environment
-        return float(out[3][3]["3d_wasserstein"].mean())
+        return float(out[3]["3d_wasserstein"].mean())
 
     run(jax.random.PRNGKey(1))  # warmup / compile
     times = []
@@ -212,7 +225,7 @@ def bench_gan_training(on_tpu: bool):
     per_iter = statistics.median(times) / GAN_SCAN
     ips = 1.0 / per_iter
     mfu = _gan_iter_flops(B, DENSE) * ips / PEAK_FLOPS
-    return {
+    result = {
         "metric": "GAN training iterations/s (pipelined critics+GP+gen, batch 1024)",
         "value": round(ips, 2),
         "unit": "iters/s",
@@ -220,6 +233,13 @@ def bench_gan_training(on_tpu: bool):
         "ms_per_iter": round(per_iter * 1000.0, 3),
         "mfu_est": round(mfu, 6),
     }
+    if control_pps and on_tpu:
+        # in-process control: same-dispatch synthesis line vs its recorded
+        # nominal — a tunnel-noise swing moves this ratio with the GAN line,
+        # a real regression moves only the GAN line
+        result["control_poses_per_sec"] = round(control_pps, 1)
+        result["control_ratio"] = round(control_pps / NOMINAL_TPU_POSES_PER_SEC, 3)
+    return result
 
 
 if __name__ == "__main__":

@@ -76,9 +76,16 @@ class GanBundle(NamedTuple):
     hyper: GanHyper
 
 
-def build_gan(args, train_subjects, key) -> GanBundle:
+def build_gan(args, train_subjects, key, mesh=None,
+              force_pallas: bool = False) -> GanBundle:
     """Create G + D3d + D2d with Adam(lr, 0.5/0.9) each — the reference's
-    my_get_poseFk_model (model_fk_gan_train.py:97-128)."""
+    my_get_poseFk_model (model_fk_gan_train.py:97-128).
+
+    ``mesh`` is the --data_parallel_devices mesh: the compiled steps then run
+    the Pallas critic-phase synthesis shard_mapped over 'data' instead of
+    silently downgrading to the XLA FK path.  ``force_pallas`` enables the
+    kernel in interpreter mode on non-TPU backends (CPU test meshes and the
+    multi-chip dryrun)."""
     gen_cfg = GeneratorConfig(
         dense_dim=args.Gen_DenseDim,
         output_dim=args.GAN_OUTPUT_DIM,
@@ -88,16 +95,17 @@ def build_gan(args, train_subjects, key) -> GanBundle:
         bf16_trunk=bool(getattr(args, "bf16_trunk", False)),
     )
     from dhaug_tpu.ops.fk_pallas import fk_pallas_supported
+    on_tpu = fk_pallas_supported()
     hyper = GanHyper(
         lambda_gp=float(args.GAN_LAMBDA),
         w3d=args.GAN_3d_loss_weight,
         w2d=args.GAN_2d_loss_weight,
         flip=args.flip_GAN_model_input,
         bone_len_scaler=args.bone_len_scaler,
-        # fused FK on the stop_gradient critic fakes: TPU only, and not under
-        # a GSPMD data mesh (pallas_call doesn't auto-partition)
-        use_pallas_fk=(fk_pallas_supported()
-                       and int(getattr(args, "data_parallel_devices", 0) or 0) <= 1),
+        # fused FK on the stop_gradient critic fakes; shard_mapped when a
+        # data mesh is active (see make_single_frame_steps)
+        use_pallas_fk=on_tpu or force_pallas,
+        pallas_interpret=not on_tpu,
     )
 
     gen = FkGeneratorNet(gen_cfg)
@@ -118,7 +126,8 @@ def build_gan(args, train_subjects, key) -> GanBundle:
         lambda p, x: gen.apply({"params": p}, x),
         lambda p, x: d3d.apply({"params": p}, x),
         lambda p, x: d2d.apply({"params": p}, x),
-        d3d_tx, d2d_tx, gen_tx, gen_cfg, hyper, quats, trans, intrs)
+        d3d_tx, d2d_tx, gen_tx, gen_cfg, hyper, quats, trans, intrs,
+        mesh=mesh)
 
     return GanBundle(
         gen_state=make_state(gen_tx, gen_params),
@@ -244,8 +253,11 @@ def run_gan_epoch(gan: GanBundle, gt2d3d: PoseDataset, target_2d: PoseTarget,
     crossed_500 = (iter_base // 500) != (summary.train_iter_num // 500)
     if record_dir is not None and (crossed_500 or iter_base == 0):
         import os
+        # fresh subkey: the epoch key was already consumed above, and reusing
+        # it would correlate the heatmap's probe noise with the epoch draws
+        key, k_heat = jax.random.split(key)
         dump_angle_heatmap(
-            gan, key,
+            gan, k_heat,
             os.path.join(record_dir,
                          f"34DOF_3GlobalRot_heatmap_{iter_base + 1}.jpg"))
 

@@ -64,21 +64,26 @@ class VideoSteps(NamedTuple):
     epoch_step: callable       # whole epoch as one scan program
 
 
-def build_video_gan(args, train_subjects, video_frames: int, key) -> VideoGanBundle:
+def build_video_gan(args, train_subjects, video_frames: int, key, mesh=None,
+                    force_pallas: bool = False) -> VideoGanBundle:
+    """``mesh``/``force_pallas`` as in single_frame.build_gan: the Pallas
+    critic-phase synthesis is shard_mapped over the data mesh instead of
+    silently downgrading to the XLA FK path in multi-chip training."""
     gen_cfg = GeneratorConfig(
         dense_dim=args.Gen_DenseDim, output_dim=args.GAN_OUTPUT_DIM,
         use_pre_angle=args.GAN_whether_use_preAngle,
         use_global_rot=args.whether_use_RT, video_frames=video_frames,
         bf16_trunk=bool(getattr(args, "bf16_trunk", False)))
     from dhaug_tpu.ops.fk_pallas import fk_pallas_supported
+    on_tpu = fk_pallas_supported()
     hyper = GanHyper(
         lambda_gp=float(args.GAN_LAMBDA), w3d=args.GAN_3d_loss_weight,
         w2d=args.GAN_2d_loss_weight,
         w3d_motion=args.GAN_3d_motion_loss_weight,
         w2d_motion=args.GAN_2d_motion_loss_weight,
         flip=args.flip_GAN_model_input, bone_len_scaler=args.bone_len_scaler,
-        use_pallas_fk=(fk_pallas_supported()
-                       and int(getattr(args, "data_parallel_devices", 0) or 0) <= 1))
+        use_pallas_fk=on_tpu or force_pallas,
+        pallas_interpret=not on_tpu)
 
     gen = FkGeneratorNet(gen_cfg)
     d3d = Fk3DDiscriminator(dense_dim=args.Dis_DenseDim_3D)
@@ -124,7 +129,8 @@ def build_video_gan(args, train_subjects, video_frames: int, key) -> VideoGanBun
         head = gen_apply(gen_params, noise)
         scaler = sample_scaler8(k_s, B, hyper.bone_len_scaler)
         return synthesize_poses(head, bone_len, scaler, gen_cfg,
-                                use_pallas=use_pallas)  # (B,F,16,3)
+                                use_pallas=use_pallas, mesh=mesh,
+                                interpret=hyper.pallas_interpret)  # (B,F,16,3)
 
     @functools.partial(jax.jit, static_argnames=("use_motion",))
     def critics_step(d3d_state, d2d_state, md3d_state, md2d_state, gen_params,
@@ -278,7 +284,12 @@ def build_video_gan(args, train_subjects, video_frames: int, key) -> VideoGanBun
         return (gen_state.replace(params=params, opt_state=opt_state),
                 {"g_cost": -loss})
 
-    @functools.partial(jax.jit, static_argnames=("use_motion",))
+    # donate the five net states on TPU (see gan/wgan.py epoch_step): callers
+    # thread the returned states; CPU ignores donation, so gate on backend
+    _donate = (0, 1, 2, 3, 4) if jax.default_backend() == "tpu" else ()
+
+    @functools.partial(jax.jit, static_argnames=("use_motion",),
+                       donate_argnums=_donate)
     def epoch_step(gen_state, d3d_state, d2d_state, md3d_state, md2d_state,
                    big3d, big2d, cams, start3d, start2d, cam_sel, iter0, key,
                    use_motion: bool):

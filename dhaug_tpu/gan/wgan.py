@@ -54,9 +54,11 @@ class GanHyper(NamedTuple):
     # Route the critic-phase fake synthesis through the fused Pallas FK
     # kernel (2.3x the XLA lowering).  Legal there because critic fakes are
     # under stop_gradient (the generator loss keeps the differentiable XLA
-    # path).  Enable on real TPU only, and only without a GSPMD data mesh
-    # (pallas_call does not partition automatically).
+    # path).  Under a GSPMD data mesh the kernel is shard_mapped over 'data'
+    # (pass mesh to make_single_frame_steps); pallas_interpret runs it in
+    # interpreter mode for CPU test meshes / the multi-chip dryrun.
     use_pallas_fk: bool = False
+    pallas_interpret: bool = False
 
 
 def camera_bank(train_subjects) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
@@ -160,8 +162,12 @@ class SingleFrameSteps(NamedTuple):
 def make_single_frame_steps(gen_apply, d3d_apply, d2d_apply,
                             d3d_tx, d2d_tx, gen_tx,
                             gen_cfg: GeneratorConfig, hyper: GanHyper,
-                            cam_quats, cam_trans, cam_intrs):
-    """Build the two compiled programs of the single-frame GAN epoch."""
+                            cam_quats, cam_trans, cam_intrs, mesh=None):
+    """Build the two compiled programs of the single-frame GAN epoch.
+
+    ``mesh`` (the --data_parallel_devices mesh) lets the Pallas critic-phase
+    synthesis run shard_mapped over 'data' — without it the fused FK kernel
+    would silently be unavailable in multi-chip training."""
     d3d_step = make_critic_step(d3d_apply, d3d_tx, hyper.lambda_gp)
     d2d_step = make_critic_step(d2d_apply, d2d_tx, hyper.lambda_gp)
     n_cams = cam_quats.shape[0]
@@ -179,7 +185,8 @@ def make_single_frame_steps(gen_apply, d3d_apply, d2d_apply,
         if scaler8 is None:
             scaler8 = sample_scaler8(k_scaler, B, hyper.bone_len_scaler)
         return synthesize_poses(head, bone_len, scaler8, gen_cfg,
-                                use_pallas=use_pallas)
+                                use_pallas=use_pallas, mesh=mesh,
+                                interpret=hyper.pallas_interpret)
 
     def critics_step(d3d_state, d2d_state, gen_params,
                      real_3d_cam, cam_param16, target_2d, key):
@@ -274,7 +281,14 @@ def make_single_frame_steps(gen_apply, d3d_apply, d2d_apply,
         return (gen_state.replace(params=params, opt_state=opt_state),
                 {"g_cost": -loss})
 
-    @jax.jit
+    # Donate the three net states on TPU: without donation XLA must copy
+    # every params + Adam-moments buffer into the scan carry at each epoch
+    # dispatch (and cannot alias the outputs back), costing HBM bandwidth on
+    # this overhead-bound path.  Callers thread the returned states and never
+    # reuse the inputs.  CPU ignores donation (and warns), so gate on backend.
+    _donate = (0, 1, 2) if jax.default_backend() == "tpu" else ()
+
+    @functools.partial(jax.jit, donate_argnums=_donate)
     def epoch_step(gen_state, d3d_state, d2d_state,
                    dev_3d, dev_cam, dev_t2d, idx_real, idx_t2d, iter0, key):
         """A whole GAN epoch as ONE compiled program: lax.scan over the

@@ -131,7 +131,8 @@ def scale_bone_lengths(bone_len: jnp.ndarray, scaler8: jnp.ndarray) -> jnp.ndarr
 
 def synthesize_poses(head: jnp.ndarray, bone_len: jnp.ndarray,
                      scaler8: jnp.ndarray, cfg: GeneratorConfig,
-                     use_pallas: bool = False) -> jnp.ndarray:
+                     use_pallas: bool = False, mesh=None,
+                     interpret: bool = False) -> jnp.ndarray:
     """Assemble world poses from the generator head output.
 
     head:     (B, F*35) raw trunk output
@@ -143,7 +144,10 @@ def synthesize_poses(head: jnp.ndarray, bone_len: jnp.ndarray,
     ``use_pallas`` routes the FK chain through the fused Pallas kernel
     (ops/fk_pallas.py) — 5.7x faster on TPU but not differentiable; use it on
     inference/synthesis paths (critic fakes, bulk generation, benchmarks),
-    never inside the generator's gradient.
+    never inside the generator's gradient.  Under a GSPMD data ``mesh`` the
+    kernel is shard_mapped over 'data' (pallas_call does not partition
+    automatically); ``interpret`` runs the kernel in interpreter mode (CPU
+    test meshes / the multi-chip dryrun).
     """
     B = head.shape[0]
     F = cfg.video_frames
@@ -154,12 +158,18 @@ def synthesize_poses(head: jnp.ndarray, bone_len: jnp.ndarray,
     scaled_bl = jnp.broadcast_to(scaled_bl[:, None, :], (B, F, 15))
 
     if use_pallas:
-        from dhaug_tpu.ops.fk_pallas import fk_world_pose_pallas
-        pose16 = fk_world_pose_pallas(
-            angles37[..., :33].reshape((B * F, 33)),
-            scaled_bl.reshape((B * F, 15)),
-            angles37[..., 34:37].reshape((B * F, 3)),
-            root.reshape((B * F, 3))).reshape((B, F, 16, 3))
+        from dhaug_tpu.ops.fk_pallas import (fk_world_pose_pallas,
+                                             fk_world_pose_pallas_sharded)
+        fk_args = (angles37[..., :33].reshape((B * F, 33)),
+                   scaled_bl.reshape((B * F, 15)),
+                   angles37[..., 34:37].reshape((B * F, 3)),
+                   root.reshape((B * F, 3)))
+        if mesh is not None:
+            pose16 = fk_world_pose_pallas_sharded(
+                mesh, *fk_args, interpret=interpret).reshape((B, F, 16, 3))
+        else:
+            pose16 = fk_world_pose_pallas(
+                *fk_args, interpret=interpret).reshape((B, F, 16, 3))
     else:
         pose16 = fkops.fk_world_pose(fkops.FKInputs(
             angles=angles37[..., :33],

@@ -9,6 +9,7 @@ transformed batch (identical update dynamics, one compilation).
 """
 from __future__ import annotations
 
+import functools
 from typing import Dict, Tuple
 
 import jax
@@ -98,7 +99,11 @@ def make_posenet_epoch_fn(model, tx, criterion: str = "mse",
     environment's TPU tunnel)."""
     step = make_posenet_train_step(model, tx, criterion)
 
-    @jax.jit
+    # donate the net state on TPU: callers thread the returned state (see
+    # train_epoch_scan); CPU ignores donation, so gate on backend
+    _donate = (0,) if jax.default_backend() == "tpu" else ()
+
+    @functools.partial(jax.jit, donate_argnums=_donate)
     def epoch_fn(state: NetState, dev2d, dev3d, idx, key):
         keys = jax.random.split(key, idx.shape[0])
 
@@ -132,7 +137,9 @@ def make_video_window_epoch_fn(model, tx, window: int,
     and centre-frame index matrices."""
     step = make_posenet_train_step(model, tx, criterion)
 
-    @jax.jit
+    _donate = (0,) if jax.default_backend() == "tpu" else ()
+
+    @functools.partial(jax.jit, donate_argnums=_donate)
     def epoch_fn(state: NetState, big2d, big3d, start2d, idx3d, key):
         win = jnp.arange(window)
         keys = jax.random.split(key, start2d.shape[0])
@@ -250,10 +257,14 @@ def make_eval_epoch_fn(model, flip: bool = False):
 
 
 def evaluate_scan(eval_fn, params, batch_stats, dev2d, dev3d,
-                  batch_size: int) -> Dict[str, float]:
+                  batch_size: int, mesh=None) -> Dict[str, float]:
     """Drive a scan-eval function over the full set (edge-padded remainder,
     padding masked out of every statistic).  Exact per-frame weighting as
-    :func:`evaluate`."""
+    :func:`evaluate`.
+
+    With ``mesh`` (--data_parallel_devices) the per-iteration batch is
+    sharded over 'data' like the training scans, so the 4 per-epoch
+    evaluations run data-parallel instead of on one chip."""
     n = int(dev2d.shape[0])
     if n == 0:
         return {k: float("nan") for k in ("p1", "p2", "pck", "auc")}
@@ -261,6 +272,13 @@ def evaluate_scan(eval_fn, params, batch_stats, dev2d, dev3d,
     pad_to = n_batches * batch_size
     idx = np.minimum(np.arange(pad_to), n - 1)     # edge-pad with last frame
     idx = jnp.asarray(idx.reshape(n_batches, batch_size))
+    if mesh is not None and batch_size % mesh.shape["data"] == 0:
+        from dhaug_tpu.parallel.mesh import replicate, shard_index_rows
+        dev2d, dev3d = replicate(mesh, dev2d), replicate(mesh, dev3d)
+        params = replicate(mesh, params)
+        if batch_stats:
+            batch_stats = replicate(mesh, batch_stats)
+        idx = shard_index_rows(mesh, idx)
     p1, p2, err = eval_fn(params, batch_stats, dev2d, dev3d, idx)
     # one host fetch for everything
     p1 = np.asarray(p1).reshape(-1)[:n]

@@ -108,14 +108,17 @@ def evaluate_both(forward, flip_forward, params, batch_stats, bundle: DataBundle
     return h36m, dhp
 
 
-def make_eval_both_scan(model, bundle: DataBundle, batch_size: int):
+def make_eval_both_scan(model, bundle: DataBundle, batch_size: int,
+                        mesh=None):
     """Single-dispatch-per-set evaluation pair: one compiled scan program
     evaluates all of H36M S9/S11 and one (flip-averaged) all of 3DHP,
     replacing the per-batch dispatch loop of :func:`evaluate_both` (~100
     dispatches x ~30 ms tunnel round trip per epoch at production sizes).
     Metrics are numerically identical (exact per-frame weighting; asserted
     in tests/test_train.py).  Call ``cache_eval_arrays(bundle)`` first so
-    the eval arrays are device-resident."""
+    the eval arrays are device-resident.  ``mesh``
+    (--data_parallel_devices) shards each scan iteration's batch over
+    'data' so the 4 per-epoch evaluations run data-parallel too."""
     import jax.numpy as jnp
 
     from dhaug_tpu.train.posenet import evaluate_scan, make_eval_epoch_fn
@@ -128,9 +131,9 @@ def make_eval_both_scan(model, bundle: DataBundle, batch_size: int):
 
     def run(params, batch_stats):
         h36m = evaluate_scan(eval_plain, params, batch_stats, h2d, h3d,
-                             batch_size)
+                             batch_size, mesh=mesh)
         dhp = evaluate_scan(eval_flip, params, batch_stats, m2d, m3d,
-                            batch_size)
+                            batch_size, mesh=mesh)
         return h36m, dhp
 
     return run

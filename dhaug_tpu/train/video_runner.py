@@ -90,10 +90,17 @@ def video_reskin_update(args, bundle, templates, rng):
                         random_seed=int(rng.integers(0, 2 ** 31)))
 
 
-def _video_eval_batches(loader, batch_size: int, rf: int, bucket: int = 128):
+def _video_eval_batches(loader, batch_size: int, rf: int, bucket: int = 128,
+                        mesh=None):
     """Adapt the two loader flavours to (inputs_2d, targets_3d, valid)
     fixed-ish shapes.  Whole sequences are bucket-padded (edge) so the
-    dilated net sees few distinct XLA shapes."""
+    dilated net sees few distinct XLA shapes.
+
+    ``mesh``: the ChunkWindows flavour shards each (batch_size, ...) window
+    batch over 'data'.  The UnchunkedSequences flavour stays single-device —
+    its leading axis is the sequence's camera count (<= 4), not a shardable
+    batch; whole-sequence inference parallelism would need time-axis
+    sharding of the dilated convs, which the <= 4 evals/epoch don't justify."""
     if isinstance(loader, UnchunkedSequences):
         for _cam, seq3d, seq2d in loader.next_epoch():
             T = seq3d.shape[1]
@@ -104,12 +111,20 @@ def _video_eval_batches(loader, batch_size: int, rf: int, bucket: int = 128):
                 seq3d = np.pad(seq3d, ((0, 0), (0, extra), (0, 0), (0, 0)), "edge")
             yield seq2d, seq3d, T
     else:
+        shard = None
+        if mesh is not None and batch_size % mesh.shape["data"] == 0:
+            from dhaug_tpu.parallel.mesh import shard_batch
+            import functools
+            shard = functools.partial(shard_batch, mesh)
         for cam, w3d, w2d in loader.next_epoch():
             n = w3d.shape[0]
             if n < batch_size:  # pad the remainder batch
                 padn = batch_size - n
                 w2d = np.concatenate([w2d, np.repeat(w2d[-1:], padn, 0)])
                 w3d = np.concatenate([w3d, np.repeat(w3d[-1:], padn, 0)])
+            if shard is not None:
+                import jax.numpy as jnp
+                w2d, w3d = shard(jnp.asarray(w2d), jnp.asarray(w3d))
             yield w2d, w3d, n
 
 
@@ -167,7 +182,7 @@ def video_mode_main(args, train_subjects: List[str]):
     forward, flip_forward = make_posenet_eval_step(eval_model)
 
     key, k_gan = jax.random.split(key)
-    gan = build_video_gan(args, train_subjects, rf, k_gan) \
+    gan = build_video_gan(args, train_subjects, rf, k_gan, mesh=mesh) \
         if args.data_enhancement_method == "GAN" else None
 
     run_dir = make_run_dir(args)
@@ -178,11 +193,24 @@ def video_mode_main(args, train_subjects: List[str]):
                                      "bone_length_npy",
                                      "hm36s15678_bl_templates.npy"))
 
+    # the windowed eval flavour runs data-parallel under the mesh; the
+    # whole-sequence (UnchunkedSequences) flavour stays single-device (see
+    # _video_eval_batches docstring)
+    eval_mesh = mesh if not isinstance(h36m_eval, UnchunkedSequences) else None
+
     def eval_both():
-        h36m = evaluate(forward, pos_state.params, pos_state.batch_stats,
-                        _video_eval_batches(h36m_eval, args.batch_size, rf))
-        dhp = evaluate(forward, pos_state.params, pos_state.batch_stats,
-                       _video_eval_batches(mpi3d_eval, args.batch_size, rf),
+        params, stats = pos_state.params, pos_state.batch_stats
+        if eval_mesh is not None:
+            from dhaug_tpu.parallel.mesh import replicate
+            params = replicate(eval_mesh, params)
+            if stats:
+                stats = replicate(eval_mesh, stats)
+        h36m = evaluate(forward, params, stats,
+                        _video_eval_batches(h36m_eval, args.batch_size, rf,
+                                            mesh=eval_mesh))
+        dhp = evaluate(forward, params, stats,
+                       _video_eval_batches(mpi3d_eval, args.batch_size, rf,
+                                           mesh=eval_mesh),
                        flip_forward=flip_forward)
         return h36m, dhp
 

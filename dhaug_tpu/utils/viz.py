@@ -84,6 +84,93 @@ def plot_pose_grid_2d(poses16: np.ndarray, path: str, cols: int = 4,
     return path
 
 
+def plot_paper_pose3d_row(poses16: np.ndarray, path: str, n: int = 3,
+                          title: str = "") -> str:
+    """The 'for paper' clean 3D figure (special_operate.py:604-676
+    my_visual_3D_pos_for_parer): one row of ``n`` axis-free skeletons —
+    white panes, no ticks, red/blue limb colouring, tight per-pose 3D box
+    centred on the hip.  poses16 (N, 16, 3); the first ``n`` poses are drawn
+    (the reference hardcodes indices 50-52 of its buffer; callers pass the
+    slice they want)."""
+    plt = _plt()
+    n = min(n, len(poses16))
+    fig = plt.figure(figsize=(6.4 * n, 10.8))
+    for i in range(n):
+        p = np.asarray(poses16[i])
+        ax = fig.add_subplot(1, n, i + 1, projection="3d")
+        radius = 1.7
+        ax.set_xlim3d([p[0, 0] - radius / 2, p[0, 0] + radius / 2])
+        ax.set_ylim3d([p[0, 1] - radius / 2, p[0, 1] + radius / 2])
+        ax.set_zlim3d([p[0, 2] - radius / 2, p[0, 2] + radius / 2])
+        white = (1.0, 1.0, 1.0, 0.0)
+        for axis in (ax.xaxis, ax.yaxis, ax.zaxis):
+            axis.set_pane_color(white)
+            axis.line.set_color(white)
+        ax.set_xticks([]), ax.set_yticks([]), ax.set_zticks([])
+        for a, b in SKELETON_EDGES_16:
+            color = "red" if (a, b) in _LEFT_EDGES else "blue"
+            ax.plot([p[a, 0], p[b, 0]], [p[a, 1], p[b, 1]],
+                    [p[a, 2], p[b, 2]], c=color, lw=2)
+    if title:
+        fig.suptitle(title)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    fig.savefig(path, dpi=80)
+    plt.close(fig)
+    return path
+
+
+def plot_paper_pose2d(pose16: np.ndarray, path: str, title: str = "") -> str:
+    """The 'for paper' clean single 2D skeleton (special_operate.py:678-734
+    my_visual_2D_pos_for_paper): equal-aspect [-1, 1] box, no ticks, y
+    flipped, red/blue limbs.  pose16 (16, 2)."""
+    plt = _plt()
+    p = np.asarray(pose16)
+    fig, ax = plt.subplots(figsize=(10.8, 10.8))
+    ax.set_aspect("equal")
+    ax.set_xlim([-1, 1])
+    ax.set_ylim([-1, 1])
+    ax.set_xticks([]), ax.set_yticks([])
+    for a, b in SKELETON_EDGES_16:
+        color = "red" if (a, b) in _LEFT_EDGES else "blue"
+        ax.plot([p[a, 0], p[b, 0]], [-p[a, 1], -p[b, 1]], c=color, lw=2)
+    if title:
+        ax.set_title(title)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    fig.savefig(path, dpi=80)
+    plt.close(fig)
+    return path
+
+
+def plot_fake_real_pairs_3d(fake16: np.ndarray, real16: np.ndarray,
+                            path: str, n: int = 4, title: str = "") -> str:
+    """Fake-vs-real pair grid: each column pairs a fake pose (top row) with a
+    real pose (bottom row) — the qualitative comparison the reference
+    assembles from its per-epoch fake/real paper dumps.  fake16/real16
+    (N, 16, 3)."""
+    plt = _plt()
+    n = min(n, len(fake16), len(real16))
+    fig = plt.figure(figsize=(3.2 * n, 6.4))
+    for row, poses in enumerate((fake16, real16)):
+        for i in range(n):
+            p = np.asarray(poses[i]) - np.asarray(poses[i])[:1]
+            ax = fig.add_subplot(2, n, row * n + i + 1, projection="3d")
+            for a, b in SKELETON_EDGES_16:
+                color = "red" if (a, b) in _LEFT_EDGES else "blue"
+                ax.plot([p[a, 0], p[b, 0]], [p[a, 1], p[b, 1]],
+                        [p[a, 2], p[b, 2]], c=color, lw=2)
+            ax.set_box_aspect((1, 1, 1))
+            ax.set_xticks([]), ax.set_yticks([]), ax.set_zticks([])
+            if i == 0:
+                ax.set_title("fake" if row == 0 else "real", loc="left")
+    if title:
+        fig.suptitle(title)
+    fig.tight_layout()
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    fig.savefig(path, dpi=80)
+    plt.close(fig)
+    return path
+
+
 def plot_video_strip(clip3d: np.ndarray, clip2d: Optional[np.ndarray],
                      path: str, title: str = "") -> str:
     """One row of 3D frames (+ optional 2D row) for a clip (F, 16, 3) — the

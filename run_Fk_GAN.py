@@ -60,13 +60,14 @@ def single_frame_mode_main(args, bundle, train_subjects):
                                          flip=args.flip_pos_model_input)
     # one compiled scan program per evaluation set (H36M + 3DHP) — a single
     # dispatch each instead of ~100 per-batch round trips per epoch
-    eval_both = make_eval_both_scan(model, bundle, args.batch_size)
+    eval_both = make_eval_both_scan(model, bundle, args.batch_size,
+                                    mesh=mesh)
     # static real train split: device-resident across all epochs
     dev_real_2d = jax.numpy.asarray(bundle.train_det2d3d.poses_2d)
     dev_real_3d = jax.numpy.asarray(bundle.train_det2d3d.poses_3d)
 
     key, k_gan = jax.random.split(key)
-    gan = build_gan(args, train_subjects, k_gan) \
+    gan = build_gan(args, train_subjects, k_gan, mesh=mesh) \
         if args.data_enhancement_method == "GAN" else None
 
     run_dir = make_run_dir(args)
@@ -158,11 +159,28 @@ def single_frame_mode_main(args, bundle, train_subjects):
                                   np.zeros((f3d.shape[0], 1), np.float32))
 
         if args.record_all_picture and fake_ds is not None:
-            from dhaug_tpu.utils.viz import plot_pose_grid_2d, plot_pose_grid_3d
+            from dhaug_tpu.utils.viz import (plot_fake_real_pairs_3d,
+                                             plot_paper_pose2d,
+                                             plot_paper_pose3d_row,
+                                             plot_pose_grid_2d,
+                                             plot_pose_grid_3d)
             import os.path as osp
             plot_pose_grid_3d(fake_ds.poses_3d[:16],
                               osp.join(run_dir, "tmp", f"fake3d_ep{summary.epoch}.jpg"),
                               title=f"fake 3D, epoch {summary.epoch}")
+            # 'for paper' clean dumps + fake-vs-real pair grid
+            # (special_operate.py:604-734)
+            plot_paper_pose3d_row(
+                np.asarray(fake_ds.poses_3d[:3]),
+                osp.join(run_dir, "tmp", f"paper_fake3d_ep{summary.epoch}.jpg"))
+            plot_paper_pose2d(
+                np.asarray(fake_ds.poses_2d[0]),
+                osp.join(run_dir, "tmp", f"paper_fake2d_ep{summary.epoch}.jpg"))
+            plot_fake_real_pairs_3d(
+                np.asarray(fake_ds.poses_3d[:4]),
+                np.asarray(gt2d3d.poses_3d[:4]),
+                osp.join(run_dir, "tmp", f"pairs3d_ep{summary.epoch}.jpg"),
+                title=f"fake vs real, epoch {summary.epoch}")
             plot_pose_grid_2d(fake_ds.poses_2d[:16],
                               osp.join(run_dir, "tmp", f"fake2d_ep{summary.epoch}.jpg"),
                               title=f"fake 2D, epoch {summary.epoch}")

@@ -64,7 +64,8 @@ def main(argv=None):
     epoch_fn = make_posenet_epoch_fn(model, tx, criterion="mse",
                                      flip=args.flip_pos_model_input)
     # single-dispatch scan evaluation per set (H36M + 3DHP)
-    eval_both = make_eval_both_scan(model, bundle, args.batch_size)
+    eval_both = make_eval_both_scan(model, bundle, args.batch_size,
+                                    mesh=mesh)
     # the train split is static: upload once for every epoch's index gathers
     dev2d = jnp.asarray(bundle.train_det2d3d.poses_2d)
     dev3d = jnp.asarray(bundle.train_det2d3d.poses_3d)

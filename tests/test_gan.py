@@ -171,18 +171,10 @@ class TestSingleFrameSteps:
         gen_after = jax.tree.leaves(gen_state.params)[0]
         assert not np.allclose(np.asarray(gen_before), np.asarray(gen_after))
 
-    def test_pallas_fk_critic_path_matches_xla(self, monkeypatch):
+    def test_pallas_fk_critic_path_matches_xla(self):
         """With use_pallas_fk the critic phase must produce identical fake
         buffers and updates (the fused kernel only replaces the
-        stop_gradient FK; interpret mode stands in for TPU on CPU)."""
-        import functools
-
-        from dhaug_tpu.ops import fk_pallas as fkp
-
-        monkeypatch.setattr(
-            fkp, "fk_world_pose_pallas",
-            functools.partial(fkp.fk_world_pose_pallas, interpret=True))
-
+        stop_gradient FK; pallas_interpret stands in for TPU on CPU)."""
         B = 8
         real = jax.random.normal(KEY, (B, 16, 3)) * 0.3
         tgt2d = jax.random.normal(KEY, (B, 16, 2)) * 0.3
@@ -190,7 +182,8 @@ class TestSingleFrameSteps:
         outs = {}
         for use_pallas in (False, True):
             gen_cfg = GeneratorConfig(dense_dim=32)
-            hyper = GanHyper(flip=False, use_pallas_fk=use_pallas)
+            hyper = GanHyper(flip=False, use_pallas_fk=use_pallas,
+                             pallas_interpret=True)
             gen = FkGeneratorNet(gen_cfg)
             d3d = Fk3DDiscriminator(dense_dim=32)
             d2d = Fk2DDiscriminator(dense_dim=32)

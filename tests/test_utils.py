@@ -125,6 +125,24 @@ class TestViz:
                               str(tmp_path / "g.png"))
         assert os.path.getsize(p) > 1000
 
+    def test_paper_figures(self, tmp_path):
+        """The 'for paper' clean dumps + fake-vs-real pair grid
+        (special_operate.py:604-734 equivalents)."""
+        from dhaug_tpu.utils.viz import (plot_fake_real_pairs_3d,
+                                         plot_paper_pose2d,
+                                         plot_paper_pose3d_row)
+        rng = np.random.default_rng(7)
+        p = plot_paper_pose3d_row(rng.normal(size=(5, 16, 3)) * 0.3,
+                                  str(tmp_path / "p3.jpg"))
+        assert os.path.getsize(p) > 1000
+        p = plot_paper_pose2d(rng.normal(size=(16, 2)) * 0.3,
+                              str(tmp_path / "p2.jpg"))
+        assert os.path.getsize(p) > 1000
+        p = plot_fake_real_pairs_3d(rng.normal(size=(4, 16, 3)) * 0.3,
+                                    rng.normal(size=(4, 16, 3)) * 0.3,
+                                    str(tmp_path / "pairs.jpg"))
+        assert os.path.getsize(p) > 1000
+
     def test_angle_pair_density(self, tmp_path):
         from dhaug_tpu.utils.viz import plot_angle_pair_density
         rng = np.random.default_rng(3)
