@@ -76,16 +76,16 @@ class GanBundle(NamedTuple):
     hyper: GanHyper
 
 
-def build_gan(args, train_subjects, key, mesh=None,
-              force_pallas: bool = False) -> GanBundle:
+def build_gan(args, train_subjects, key, mesh=None) -> GanBundle:
     """Create G + D3d + D2d with Adam(lr, 0.5/0.9) each — the reference's
     my_get_poseFk_model (model_fk_gan_train.py:97-128).
 
     ``mesh`` is the --data_parallel_devices mesh: the compiled steps then run
     the Pallas critic-phase synthesis shard_mapped over 'data' instead of
-    silently downgrading to the XLA FK path.  ``force_pallas`` enables the
-    kernel in interpreter mode on non-TPU backends (CPU test meshes and the
-    multi-chip dryrun)."""
+    silently downgrading to the XLA FK path.  (Non-TPU callers that want the
+    kernel in interpreter mode construct GanHyper(use_pallas_fk=True,
+    pallas_interpret=True) directly — see __graft_entry__.py and
+    tests/test_parallel.py.)"""
     gen_cfg = GeneratorConfig(
         dense_dim=args.Gen_DenseDim,
         output_dim=args.GAN_OUTPUT_DIM,
@@ -104,7 +104,7 @@ def build_gan(args, train_subjects, key, mesh=None,
         bone_len_scaler=args.bone_len_scaler,
         # fused FK on the stop_gradient critic fakes; shard_mapped when a
         # data mesh is active (see make_single_frame_steps)
-        use_pallas_fk=on_tpu or force_pallas,
+        use_pallas_fk=on_tpu,
         pallas_interpret=not on_tpu,
     )
 

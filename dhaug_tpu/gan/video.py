@@ -64,11 +64,11 @@ class VideoSteps(NamedTuple):
     epoch_step: callable       # whole epoch as one scan program
 
 
-def build_video_gan(args, train_subjects, video_frames: int, key, mesh=None,
-                    force_pallas: bool = False) -> VideoGanBundle:
-    """``mesh``/``force_pallas`` as in single_frame.build_gan: the Pallas
-    critic-phase synthesis is shard_mapped over the data mesh instead of
-    silently downgrading to the XLA FK path in multi-chip training."""
+def build_video_gan(args, train_subjects, video_frames: int, key,
+                    mesh=None) -> VideoGanBundle:
+    """``mesh`` as in single_frame.build_gan: the Pallas critic-phase
+    synthesis is shard_mapped over the data mesh instead of silently
+    downgrading to the XLA FK path in multi-chip training."""
     gen_cfg = GeneratorConfig(
         dense_dim=args.Gen_DenseDim, output_dim=args.GAN_OUTPUT_DIM,
         use_pre_angle=args.GAN_whether_use_preAngle,
@@ -82,7 +82,7 @@ def build_video_gan(args, train_subjects, video_frames: int, key, mesh=None,
         w3d_motion=args.GAN_3d_motion_loss_weight,
         w2d_motion=args.GAN_2d_motion_loss_weight,
         flip=args.flip_GAN_model_input, bone_len_scaler=args.bone_len_scaler,
-        use_pallas_fk=on_tpu or force_pallas,
+        use_pallas_fk=on_tpu,
         pallas_interpret=not on_tpu)
 
     gen = FkGeneratorNet(gen_cfg)

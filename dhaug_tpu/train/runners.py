@@ -128,6 +128,13 @@ def make_eval_both_scan(model, bundle: DataBundle, batch_size: int,
     h3d = jnp.asarray(bundle.h36m_test.poses_3d)
     m2d = jnp.asarray(bundle.mpi3d.poses_2d)
     m3d = jnp.asarray(bundle.mpi3d.poses_3d)
+    if mesh is not None:
+        # replicate the static eval sets ONCE here; evaluate_scan's per-call
+        # replicate() then no-ops on them (parallel/mesh._put skips arrays
+        # already placed) instead of re-broadcasting MBs 4x per epoch
+        from dhaug_tpu.parallel.mesh import replicate
+        h2d, h3d, m2d, m3d = (replicate(mesh, x)
+                              for x in (h2d, h3d, m2d, m3d))
 
     def run(params, batch_stats):
         h36m = evaluate_scan(eval_plain, params, batch_stats, h2d, h3d,

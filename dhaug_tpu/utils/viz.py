@@ -21,6 +21,10 @@ SKELETON_EDGES_16 = (
     (8, 9), (8, 10), (10, 11), (11, 12), (8, 13), (13, 14), (14, 15),
 )
 _LEFT_EDGES = {(0, 4), (4, 5), (5, 6), (8, 10), (10, 11), (11, 12)}
+# The reference's paper figures colour left limbs AND the spine chain red
+# (LR mask [0,0,0,1,1,1,1,1,1,1,1,1,0,0,0] over its I/J edge order,
+# special_operate.py:614-616): red = left + spine, blue = right.
+_PAPER_RED_EDGES = _LEFT_EDGES | {(0, 7), (7, 8), (8, 9)}
 
 
 def _plt():
@@ -108,7 +112,7 @@ def plot_paper_pose3d_row(poses16: np.ndarray, path: str, n: int = 3,
             axis.line.set_color(white)
         ax.set_xticks([]), ax.set_yticks([]), ax.set_zticks([])
         for a, b in SKELETON_EDGES_16:
-            color = "red" if (a, b) in _LEFT_EDGES else "blue"
+            color = "red" if (a, b) in _PAPER_RED_EDGES else "blue"
             ax.plot([p[a, 0], p[b, 0]], [p[a, 1], p[b, 1]],
                     [p[a, 2], p[b, 2]], c=color, lw=2)
     if title:
@@ -131,7 +135,7 @@ def plot_paper_pose2d(pose16: np.ndarray, path: str, title: str = "") -> str:
     ax.set_ylim([-1, 1])
     ax.set_xticks([]), ax.set_yticks([])
     for a, b in SKELETON_EDGES_16:
-        color = "red" if (a, b) in _LEFT_EDGES else "blue"
+        color = "red" if (a, b) in _PAPER_RED_EDGES else "blue"
         ax.plot([p[a, 0], p[b, 0]], [-p[a, 1], -p[b, 1]], c=color, lw=2)
     if title:
         ax.set_title(title)
@@ -155,7 +159,7 @@ def plot_fake_real_pairs_3d(fake16: np.ndarray, real16: np.ndarray,
             p = np.asarray(poses[i]) - np.asarray(poses[i])[:1]
             ax = fig.add_subplot(2, n, row * n + i + 1, projection="3d")
             for a, b in SKELETON_EDGES_16:
-                color = "red" if (a, b) in _LEFT_EDGES else "blue"
+                color = "red" if (a, b) in _PAPER_RED_EDGES else "blue"
                 ax.plot([p[a, 0], p[b, 0]], [p[a, 1], p[b, 1]],
                         [p[a, 2], p[b, 2]], c=color, lw=2)
             ax.set_box_aspect((1, 1, 1))
