@@ -76,13 +76,17 @@ def main(argv=None):
     print(f"3DHP  : P1 {dhp['p1']:.2f} mm | P2 {dhp['p2']:.2f} mm "
           f"| PCK {dhp['pck']:.2f} | AUC {dhp['auc']:.2f}")
 
-    if getattr(args, "Path_3DPW", "") and not video:
+    if getattr(args, "Path_3DPW", ""):
         # Cross-dataset 3DPW evaluation — the reference parses --Path_3DPW
         # but never loads it (dead code); here it scores an external npz
         # {pose3d (N, 24|16, 3) metres, pose2d (N, 16, 2) normalized} with
         # flip-averaged inference.  SMPL-24 GT is mapped to the H36M-16
         # layout (data/pw3d.py) and P1/P2 are computed over the 14 mapped
         # joints after mean-centring (the pelvis has no SMPL counterpart).
+        # Video-mode checkpoints run centre-frame inference over sliding
+        # receptive-field windows (edge-padded; the flat npz carries no
+        # sequence boundaries, so windows straddling a boundary mix frames —
+        # a few frames out of N at most).
         import jax.numpy as jnp
 
         from dhaug_tpu.data.pw3d import PW3D_TO_16POINTS_TABLE, convert_to_16
@@ -101,11 +105,20 @@ def main(argv=None):
         n = in2d.shape[0]
         pad_to = -(-n // bs) * bs
         sel = np.minimum(np.arange(pad_to), n - 1)
-        dev2d = jnp.asarray(in2d[sel])
+        if video:
+            half = rf // 2
+            in2d_seq = np.pad(in2d, ((half, half), (0, 0), (0, 0)), "edge")
+            win = sel[:, None] + np.arange(rf)[None]   # (pad_to, rf)
+            dev2d = jnp.asarray(in2d_seq[win])         # (pad_to, rf, 16, 2)
+        else:
+            dev2d = jnp.asarray(in2d[sel])
         preds = [np.asarray(flip_forward(params, batch_stats,
                                          dev2d[s:s + bs]))
                  for s in range(0, pad_to, bs)]
-        pred = np.concatenate(preds)[:n][:, mapped]
+        pred = np.concatenate(preds)
+        if pred.ndim == 4:                             # (B, 1, 16, 3) video
+            pred = pred[:, 0]
+        pred = pred[:n][:, mapped]
         gt = gt3d[:, mapped]
         pred = pred - pred.mean(axis=1, keepdims=True)
         gt = gt - gt.mean(axis=1, keepdims=True)
