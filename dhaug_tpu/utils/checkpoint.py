@@ -17,12 +17,45 @@ import jax
 import numpy as np
 
 
+def fetch_tree(tree: Any) -> Any:
+    """Device->host fetch of a pytree in O(dtype groups) transfers instead of
+    one per leaf.
+
+    Through this environment's tunneled TPU runtime every synchronous fetch
+    costs ~40 ms of round-trip latency regardless of size (bulk bandwidth is
+    ~14 MB/s), so fetching a train state leaf-by-leaf pays hundreds of round
+    trips.  Small leaves of each dtype are concatenated on device (one tiny
+    compiled program per structure, persistent-cached) and split on the
+    host; leaves above ``_PACK_MAX_BYTES`` are bandwidth-bound anyway and
+    stream individually (packing them would only add an HBM copy)."""
+    import jax.numpy as jnp
+
+    _PACK_MAX_BYTES = 4 << 20
+    leaves, treedef = jax.tree.flatten(tree)
+    out = list(leaves)
+    by_dtype: dict = {}
+    for i, x in enumerate(leaves):
+        if isinstance(x, jax.Array):
+            if x.nbytes > _PACK_MAX_BYTES:
+                out[i] = np.asarray(x)               # large: direct stream
+            else:
+                by_dtype.setdefault(jnp.dtype(x.dtype), []).append(i)
+        elif isinstance(x, np.ndarray):
+            out[i] = np.asarray(x)
+    for dt, idxs in by_dtype.items():
+        flat = jnp.concatenate([leaves[i].ravel() for i in idxs]) \
+            if len(idxs) > 1 else leaves[idxs[0]].ravel()
+        host = np.asarray(flat)                      # one tunnel round trip
+        off = 0
+        for i in idxs:
+            n = int(np.prod(leaves[i].shape)) if leaves[i].shape else 1
+            out[i] = host[off:off + n].reshape(leaves[i].shape)
+            off += n
+    return jax.tree.unflatten(treedef, out)
+
+
 def _to_host(tree: Any) -> Any:
-    def leaf(x):
-        if isinstance(x, (jax.Array, np.ndarray)):
-            return np.asarray(x)
-        return x  # strings / ints / rng-state dict leaves stay as-is
-    return jax.tree.map(leaf, tree)
+    return fetch_tree(tree)
 
 
 def save_ckpt(state: dict, ckpt_dir: str, suffix: str | None = None) -> str:

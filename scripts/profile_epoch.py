@@ -1,0 +1,132 @@
+#!/usr/bin/env python
+"""Per-phase wall-clock profile of one single-frame training epoch on the
+current backend — answers "where does the end-to-end epoch wall go?" (the
+GAN phase alone runs at ~9 ms/iteration, yet a full epoch costs tens of
+seconds through this environment's tunnel).
+
+Each phase ends in the same host fetch the production loop performs, so the
+timings include the true synchronization cost.  Run from the repo root:
+
+    python scripts/profile_epoch.py --data_root /tmp/bigdata [--epochs 2]
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data_root", default="/tmp/bigdata")
+    ap.add_argument("--epochs", type=int, default=2)
+    ap.add_argument("--batch_size", type=int, default=1024)
+    ap.add_argument("--jax_platform", default="")
+    opts = ap.parse_args()
+
+    from dhaug_tpu.train.config import parse_aug_args
+    args = parse_aug_args([
+        "--posenet_name", "mlp", "--lr_p", "1e-3", "--keypoints", "gt",
+        "--batch_size", str(opts.batch_size), "--epochs", "50",
+        "--data_enhancement_method", "GAN",
+        "--single_or_multi_train_mode", "single",
+        "--synthetic_data", "true", "--data_root", opts.data_root,
+        "--warmup", "0",
+    ] + (["--jax_platform", opts.jax_platform] if opts.jax_platform else []))
+
+    from dhaug_tpu.train.runners import setup_jax
+    setup_jax(args)
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dhaug_tpu.data.loaders import PoseTarget
+    from dhaug_tpu.gan.single_frame import build_gan, reskin_dataset, run_gan_epoch
+    from dhaug_tpu.models.factory import init_posenet, make_posenet
+    from dhaug_tpu.train.data_prep import prepare_data
+    from dhaug_tpu.train.posenet import make_posenet_epoch_fn, train_epoch_scan
+    from dhaug_tpu.train.runners import cache_eval_arrays, make_eval_both_scan
+    from dhaug_tpu.train.state import adam_posenet, make_state
+    from dhaug_tpu.utils.log import Summary
+
+    t0 = time.perf_counter()
+    bundle = prepare_data(args)
+    cache_eval_arrays(bundle)
+    print(f"data prep            : {time.perf_counter() - t0:7.2f} s")
+
+    np_rng = np.random.default_rng(0)
+    key = jax.random.PRNGKey(0)
+    train_subjects = ["S1", "S5", "S6", "S7", "S8"]
+
+    model = make_posenet("mlp", stages=args.stages, dropout=args.dropout)
+    params, batch_stats = init_posenet(model, key,
+                                       bundle.train_det2d3d.poses_2d[:2])
+    pos_tx = adam_posenet(args.lr_p)
+    pos_state = make_state(pos_tx, params, batch_stats)
+    pos_epoch_fn = make_posenet_epoch_fn(model, pos_tx, criterion="mse")
+    eval_both = make_eval_both_scan(model, bundle, args.batch_size)
+    gan = build_gan(args, train_subjects, key)
+    summary = Summary(None)
+    templates = np.load(os.path.join(args.data_root, "data_extra",
+                                     "bone_length_npy",
+                                     "hm36s15678_bl_templates.npy"))
+    dev_real_2d = jnp.asarray(bundle.train_det2d3d.poses_2d)
+    dev_real_3d = jnp.asarray(bundle.train_det2d3d.poses_3d)
+
+    def timed(name, fn):
+        t = time.perf_counter()
+        out = fn()
+        print(f"{name:21s}: {time.perf_counter() - t:7.2f} s")
+        return out
+
+    for epoch in range(opts.epochs):
+        print(f"--- epoch {epoch} ---")
+        gt2d3d = timed("reskin", lambda: reskin_dataset(
+            bundle.train_gt2d3d, templates, np_rng))
+        target_2d = PoseTarget(gt2d3d.poses_2d)
+        target_3d = PoseTarget(gt2d3d.poses_3d)
+        nonlocal_key = jax.random.split(key)
+        key2 = nonlocal_key[1]
+        res = timed("gan epoch", lambda: run_gan_epoch(
+            gan, gt2d3d, target_2d, target_3d, args.batch_size, np_rng,
+            key2, summary))
+        gan, fake_ds = res
+        if fake_ds is not None:
+            pos_state_box = [pos_state]
+
+            def fake_pass():
+                s, l = train_epoch_scan(pos_epoch_fn, pos_state_box[0],
+                                        fake_ds.poses_2d, fake_ds.poses_3d,
+                                        np_rng, args.batch_size, key2)
+                pos_state_box[0] = s
+                return l
+            timed("posenet fake pass", fake_pass)
+            timed("eval (fake)", lambda: eval_both(
+                pos_state_box[0].params, pos_state_box[0].batch_stats))
+
+            def real_pass():
+                s, l = train_epoch_scan(pos_epoch_fn, pos_state_box[0],
+                                        dev_real_2d, dev_real_3d,
+                                        np_rng, args.batch_size, key2)
+                pos_state_box[0] = s
+                return l
+            timed("posenet real pass", real_pass)
+            timed("eval (real)", lambda: eval_both(
+                pos_state_box[0].params, pos_state_box[0].batch_stats))
+            pos_state = pos_state_box[0]
+
+        # the per-epoch best-checkpoint save fetches the full train state
+        def ckpt_fetch():
+            return jax.tree.map(np.asarray,
+                                {"pos": pos_state.params,
+                                 "gen": gan.gen_state.params,
+                                 "d3d": gan.d3d_state.params,
+                                 "d2d": gan.d2d_state.params})
+        timed("ckpt state fetch", ckpt_fetch)
+
+
+if __name__ == "__main__":
+    main()

@@ -125,6 +125,30 @@ class TestViz:
                               str(tmp_path / "g.png"))
         assert os.path.getsize(p) > 1000
 
+    def test_fetch_tree_packed(self):
+        """fetch_tree must reproduce every leaf exactly (values, shapes,
+        0-d scalars, mixed dtypes, non-array passthrough) while packing the
+        device->host transfer into one fetch per dtype."""
+        import jax.numpy as jnp
+
+        from dhaug_tpu.utils.checkpoint import fetch_tree
+        rng = np.random.default_rng(5)
+        a = rng.normal(size=(7, 3)).astype(np.float32)
+        tree = {"a": jnp.asarray(a),
+                "b": {"c": jnp.asarray(3, jnp.int32),
+                      "d": jnp.asarray(rng.integers(0, 9, (4,)), jnp.int32)},
+                "scalar": jnp.asarray(2.5, jnp.float32),
+                "passthrough": 7, "s": "hi", "np": np.arange(4)}
+        out = fetch_tree(tree)
+        np.testing.assert_array_equal(out["a"], a)
+        assert out["a"].dtype == np.float32
+        assert out["b"]["c"].shape == () and int(out["b"]["c"]) == 3
+        assert out["scalar"].shape == () and float(out["scalar"]) == 2.5
+        assert out["passthrough"] == 7 and out["s"] == "hi"
+        np.testing.assert_array_equal(out["np"], np.arange(4))
+        assert all(isinstance(x, np.ndarray)
+                   for x in (out["a"], out["b"]["c"], out["scalar"]))
+
     def test_paper_figures(self, tmp_path):
         """The 'for paper' clean dumps + fake-vs-real pair grid
         (special_operate.py:604-734 equivalents)."""
