@@ -54,10 +54,6 @@ def fetch_tree(tree: Any) -> Any:
     return jax.tree.unflatten(treedef, out)
 
 
-def _to_host(tree: Any) -> Any:
-    return fetch_tree(tree)
-
-
 def save_ckpt(state: dict, ckpt_dir: str, suffix: str | None = None) -> str:
     """Save a pytree dict as ckpt_<suffix>.ckpt.  ``state`` may contain
     NetState objects, raw pytrees, ints, and numpy arrays."""
@@ -66,7 +62,7 @@ def save_ckpt(state: dict, ckpt_dir: str, suffix: str | None = None) -> str:
     os.makedirs(ckpt_dir, exist_ok=True)
     path = os.path.join(ckpt_dir, f"ckpt_{suffix}.ckpt")
     with open(path, "wb") as f:
-        pickle.dump(_to_host(state), f)
+        pickle.dump(fetch_tree(state), f)
     return path
 
 

@@ -121,6 +121,15 @@ def test_entry_compiles():
     assert np.isfinite(np.asarray(out)).all()
 
 
+def _tiled_cam16(N, quats, trans, intrs):
+    """(N, 16) camera records tiling the first bank camera (intr|quat|t)."""
+    return jnp.asarray(np.concatenate(
+        [np.tile(np.asarray(intrs[0])[None], (N, 1)),
+         np.tile(np.asarray(quats[0])[None], (N, 1)),
+         np.tile(np.asarray(trans[0])[None], (N, 1))],
+        axis=1).astype(np.float32))
+
+
 def _tiny_gan_steps(flip=True, mesh=None, pallas=False):
     from dhaug_tpu.gan.wgan import GanHyper, camera_bank, make_single_frame_steps
     from dhaug_tpu.models.discriminators import (Fk2DDiscriminator,
@@ -161,11 +170,7 @@ def test_sharded_epoch_step_matches_single_device():
     B, nb, N = 16, 6, 100
     rng = np.random.default_rng(0)
     dev3d = jnp.asarray(rng.normal(size=(N, 16, 3)).astype(np.float32) * 0.3)
-    devcam = jnp.asarray(np.concatenate(
-        [np.tile(np.asarray(intrs[0])[None], (N, 1)),
-         np.tile(np.asarray(quats[0])[None], (N, 1)),
-         np.tile(np.asarray(trans[0])[None], (N, 1))],
-        axis=1).astype(np.float32))
+    devcam = _tiled_cam16(N, quats, trans, intrs)
     devt2d = jnp.asarray(rng.normal(size=(N, 16, 2)).astype(np.float32) * 0.3)
     idx_r = jnp.asarray(rng.permutation(N)[: nb * B].reshape(nb, B))
     idx_t = jnp.asarray(rng.permutation(N)[: nb * B].reshape(nb, B))
@@ -222,11 +227,7 @@ def test_sharded_pallas_fk_epoch_matches_sharded_xla():
     for pallas in (False, True):
         steps, txs, (gp, p3, p2), (quats, trans, intrs) = _tiny_gan_steps(
             flip=False, mesh=mesh, pallas=pallas)
-        devcam = jnp.asarray(np.concatenate(
-            [np.tile(np.asarray(intrs[0])[None], (N, 1)),
-             np.tile(np.asarray(quats[0])[None], (N, 1)),
-             np.tile(np.asarray(trans[0])[None], (N, 1))],
-            axis=1).astype(np.float32))
+        devcam = _tiled_cam16(N, quats, trans, intrs)
         g = replicate(mesh, make_state(txs[0], gp))
         s3 = replicate(mesh, make_state(txs[1], p3))
         s2 = replicate(mesh, make_state(txs[2], p2))
@@ -320,10 +321,7 @@ def test_sharded_video_epoch_step_matches_single_device():
     big3d = jnp.asarray(rng.normal(size=(T, 16, 3)).astype(np.float32) * 0.3)
     big2d = jnp.asarray(rng.normal(size=(T, 16, 2)).astype(np.float32) * 0.3)
     n_cams = nb * B
-    cams = jnp.asarray(np.concatenate(
-        [np.tile(np.asarray(intrs[0])[None], (n_cams, 1)),
-         np.tile(np.asarray(quats[0])[None], (n_cams, 1)),
-         np.tile(np.asarray(trans[0])[None], (n_cams, 1))], axis=1))
+    cams = _tiled_cam16(n_cams, quats, trans, intrs)
     start = jnp.asarray(rng.integers(0, T - F, size=(nb, B)))
     cam_sel = jnp.asarray(np.arange(n_cams).reshape(nb, B))
 

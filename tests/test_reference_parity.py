@@ -1335,11 +1335,10 @@ class TestUpdateDynamicsParity:
         np.testing.assert_allclose(g_mine, g_ref, rtol=1e-3, atol=5e-4)
 
         # final weights track after 20 coupled updates
-        for transplant, state in ((_transplant_d3d, d3_state),
-                                  (_transplant_d2d, d2_state),
-                                  (_transplant_gen_trunk, gen_state)):
-            ref_model = {_transplant_d3d: ref_d3, _transplant_d2d: ref_d2,
-                         _transplant_gen_trunk: ref_g}[transplant]
+        for transplant, state, ref_model in (
+                (_transplant_d3d, d3_state, ref_d3),
+                (_transplant_d2d, d2_state, ref_d2),
+                (_transplant_gen_trunk, gen_state, ref_g)):
             after = _snapshot(state.params)
             transplant(ref_model, after)   # overwrite with reference weights
             assert _tree_max_diff(state.params, after) < 1e-4
