@@ -388,6 +388,25 @@ def test_sharded_eval_scan_matches_single_device():
                                        err_msg=f"{k} flip={flip}")
 
 
+def test_fetch_tree_on_mesh_placed_state():
+    """Checkpoint fetch must reproduce exact values for mesh-replicated AND
+    batch-sharded arrays (what --data_parallel_devices states look like at
+    save time)."""
+    from dhaug_tpu.utils.checkpoint import fetch_tree
+
+    mesh = make_mesh(8)
+    rng = np.random.default_rng(3)
+    a = rng.normal(size=(16, 5)).astype(np.float32)
+    b = rng.normal(size=(64,)).astype(np.float32)
+    tree = {"replicated": replicate(mesh, jnp.asarray(a)),
+            "sharded": shard_batch(mesh, jnp.asarray(b)),
+            "scalar": replicate(mesh, jnp.asarray(3, jnp.int32))}
+    out = fetch_tree(tree)
+    np.testing.assert_array_equal(out["replicated"], a)
+    np.testing.assert_array_equal(out["sharded"], b)
+    assert int(out["scalar"]) == 3
+
+
 def test_sharded_gan_step_matches_unsharded():
     """The full train step must produce identical metrics whether the batch
     is sharded over 8 devices or run on one (same params, same keys)."""
