@@ -112,33 +112,78 @@ def build_video_gan(args, train_subjects, video_frames: int, key,
     md3d_apply = lambda p, x: md3d.apply({"params": p}, x)
     md2d_apply = lambda p, x: md2d.apply({"params": p}, x)
 
-    d3d_step = make_critic_step(d3d_apply, txs["d3d"], hyper.lambda_gp)
-    d2d_step = make_critic_step(d2d_apply, txs["d2d"], hyper.lambda_gp)
-    md3d_step = make_critic_step(md3d_apply, txs["md3d"], hyper.lambda_gp)
-    md2d_step = make_critic_step(md2d_apply, txs["md2d"], hyper.lambda_gp)
-
     quats, trans, intrs = camera_bank(train_subjects)
-    n_cams = quats.shape[0]
     playback = bool(args.GAN_video_playback_input)
+    steps = make_video_steps(
+        gen_apply, d3d_apply, d2d_apply, md3d_apply, md2d_apply,
+        txs["d3d"], txs["d2d"], txs["md3d"], txs["md2d"], txs["gen"],
+        gen_cfg, hyper, quats, trans, intrs, playback, mesh=mesh)
+
+    return VideoGanBundle(
+        gen_state=make_state(txs["gen"], gen_params),
+        d3d_state=make_state(txs["d3d"], d3d_params),
+        d2d_state=make_state(txs["d2d"], d2d_params),
+        md3d_state=make_state(txs["md3d"], md3d_params),
+        md2d_state=make_state(txs["md2d"], md2d_params),
+        steps=steps, gen_cfg=gen_cfg, hyper=hyper, playback=playback)
+
+
+def make_video_steps(gen_apply, d3d_apply, d2d_apply, md3d_apply, md2d_apply,
+                     d3d_tx, d2d_tx, md3d_tx, md2d_tx, gen_tx,
+                     gen_cfg: GeneratorConfig, hyper: GanHyper,
+                     cam_quats, cam_trans, cam_intrs, playback: bool,
+                     mesh=None) -> VideoSteps:
+    """Build the compiled programs of the video GAN epoch from the net apply
+    fns + optimizers — the video twin of wgan.make_single_frame_steps (used
+    directly by the update-level reference-parity tests, which substitute
+    SGD; production goes through build_video_gan)."""
+    F = gen_cfg.video_frames
+    d3d_step = make_critic_step(d3d_apply, d3d_tx, hyper.lambda_gp)
+    d2d_step = make_critic_step(d2d_apply, d2d_tx, hyper.lambda_gp)
+    md3d_step = make_critic_step(md3d_apply, md3d_tx, hyper.lambda_gp)
+    # The reference updates the motion-2D critic WITHOUT dis_mode='motion'
+    # (video_GAN_fun.py:341,355,393), so its GP interpolates and takes
+    # gradient norms per FRAME (batch B*F of 16*2 rows), not per clip like
+    # the motion-3D critic — reproduced via gp_granularity.
+    md2d_step = make_critic_step(md2d_apply, md2d_tx, hyper.lambda_gp,
+                                 gp_granularity=F)
+
+    quats, trans, intrs = cam_quats, cam_trans, cam_intrs
+    n_cams = quats.shape[0]
     flip = hyper.flip
 
-    def synth_fake(gen_params, bone_len, key, use_pallas: bool = False):
+    def synth_fake(gen_params, bone_len, key, use_pallas: bool = False,
+                   noise=None, scaler8=None):
+        """``noise`` / ``scaler8`` override the random draws — used by the
+        update-level reference-parity tests to inject the reference's
+        torch.randn / FK_DH_Class.random draws; production passes None."""
         B = bone_len.shape[0]
         k_n, k_s = jax.random.split(key)
-        noise = jax.random.normal(k_n, (B, 128))
+        if noise is None:
+            noise = jax.random.normal(k_n, (B, 128))
         head = gen_apply(gen_params, noise)
-        scaler = sample_scaler8(k_s, B, hyper.bone_len_scaler)
-        return synthesize_poses(head, bone_len, scaler, gen_cfg,
+        if scaler8 is None:
+            scaler8 = sample_scaler8(k_s, B, hyper.bone_len_scaler)
+        return synthesize_poses(head, bone_len, scaler8, gen_cfg,
                                 use_pallas=use_pallas, mesh=mesh,
                                 interpret=hyper.pallas_interpret)  # (B,F,16,3)
 
     @functools.partial(jax.jit, static_argnames=("use_motion",))
     def critics_step(d3d_state, d2d_state, md3d_state, md2d_state, gen_params,
-                     real_3d_clip, cam16, real_2d_clip, key, use_motion: bool):
+                     real_3d_clip, cam16, real_2d_clip, key, use_motion: bool,
+                     noise=None, scaler8=None, cam_idx=None, alphas=None):
         """real_3d_clip (B, F, 16, 3) camera space; cam16 (B, 16);
-        real_2d_clip (B, F, 16, 2)."""
+        real_2d_clip (B, F, 16, 2).
+
+        ``noise``/``scaler8``/``cam_idx``/``alphas`` override the random
+        draws (parity tests only).  ``alphas`` is a 12-tuple of GP
+        interpolation draws in the reference's update order
+        (video_GAN_fun.py:208-418): d3d, md3d, md3d-playback, d3d-flip,
+        md3d-flip, md3d-flip-playback, d2d, md2d, md2d-playback, d2d-flip,
+        md2d-flip, md2d-flip-playback."""
         B = real_3d_clip.shape[0]
         keys = jax.random.split(key, 16)
+        _a = (lambda i: None) if alphas is None else (lambda i: alphas[i])
 
         # harvest bone lengths from the clip's first frame (bones are
         # constant within a real clip; the generator takes one set per clip)
@@ -153,7 +198,8 @@ def build_video_gan(args, train_subjects, video_frames: int, key,
 
         fake_world = jax.lax.stop_gradient(
             synth_fake(gen_params, bone_len[:, 0], keys[0],
-                       use_pallas=hyper.use_pallas_fk))        # (B,F,16,3)
+                       use_pallas=hyper.use_pallas_fk,
+                       noise=noise, scaler8=scaler8))          # (B,F,16,3)
         fake_root = fake_world[:, :, :1]
         fake_rel = fake_world - fake_root
 
@@ -161,25 +207,30 @@ def build_video_gan(args, train_subjects, video_frames: int, key,
 
         # ---- 3D critics ----
         d3d_state, m = d3d_step(d3d_state, real_rel.reshape((-1, 16, 3)),
-                                fake_rel.reshape((-1, 16, 3)), keys[1])
+                                fake_rel.reshape((-1, 16, 3)), keys[1],
+                                alpha=_a(0))
         if use_motion:
-            md3d_state, mm = md3d_step(md3d_state, real_rel, fake_rel, keys[2])
+            md3d_state, mm = md3d_step(md3d_state, real_rel, fake_rel, keys[2],
+                                       alpha=_a(1))
             if playback:
                 md3d_state, mb = md3d_step(md3d_state, time_reverse(real_rel),
-                                           time_reverse(fake_rel), keys[3])
+                                           time_reverse(fake_rel), keys[3],
+                                           alpha=_a(2))
                 mm = {k2: (mm[k2] + mb[k2]) / 2 for k2 in mm}
         if flip:
             real_f = flip_pose(real_rel)
             fake_f = flip_pose(fake_rel)
             d3d_state, mf = d3d_step(d3d_state, real_f.reshape((-1, 16, 3)),
-                                     fake_f.reshape((-1, 16, 3)), keys[4])
+                                     fake_f.reshape((-1, 16, 3)), keys[4],
+                                     alpha=_a(3))
             m = {k2: (m[k2] + mf[k2]) / 2 for k2 in m}
             if use_motion:
-                md3d_state, mmf = md3d_step(md3d_state, real_f, fake_f, keys[5])
+                md3d_state, mmf = md3d_step(md3d_state, real_f, fake_f, keys[5],
+                                            alpha=_a(4))
                 if playback:
                     md3d_state, mmfb = md3d_step(
                         md3d_state, time_reverse(real_f), time_reverse(fake_f),
-                        keys[6])
+                        keys[6], alpha=_a(5))
                     mmf = {k2: (mmf[k2] + mmfb[k2]) / 2 for k2 in mmf}
                 mm = {k2: (mm[k2] + mmf[k2]) / 2 for k2 in mm}
         metrics.update({f"3d_{k2}": v for k2, v in m.items()})
@@ -187,7 +238,8 @@ def build_video_gan(args, train_subjects, video_frames: int, key,
             metrics.update({f"motion_3d_{k2}": v for k2, v in mm.items()})
 
         # ---- random camera projection of the whole fake clip ----
-        cam_idx = jax.random.randint(keys[7], (), 0, n_cams)
+        if cam_idx is None:
+            cam_idx = jax.random.randint(keys[7], (), 0, n_cams)
         q = quats[cam_idx][None]
         t = trans[cam_idx][None]
         intr = jnp.broadcast_to(intrs[cam_idx][None], (B * F, 9))
@@ -198,25 +250,30 @@ def build_video_gan(args, train_subjects, video_frames: int, key,
 
         # ---- 2D critics ----
         d2d_state, m2 = d2d_step(d2d_state, real_2d_clip.reshape((-1, 16, 2)),
-                                 fake_2d.reshape((-1, 16, 2)), keys[8])
+                                 fake_2d.reshape((-1, 16, 2)), keys[8],
+                                 alpha=_a(6))
         if use_motion:
-            md2d_state, mm2 = md2d_step(md2d_state, real_2d_clip, fake_2d, keys[9])
+            md2d_state, mm2 = md2d_step(md2d_state, real_2d_clip, fake_2d,
+                                        keys[9], alpha=_a(7))
             if playback:
                 md2d_state, mb2 = md2d_step(md2d_state, time_reverse(real_2d_clip),
-                                            time_reverse(fake_2d), keys[10])
+                                            time_reverse(fake_2d), keys[10],
+                                            alpha=_a(8))
                 mm2 = {k2: (mm2[k2] + mb2[k2]) / 2 for k2 in mm2}
         if flip:
             real2_f = flip_pose(real_2d_clip)
             fake2_f = flip_pose(fake_2d)
             d2d_state, mf2 = d2d_step(d2d_state, real2_f.reshape((-1, 16, 2)),
-                                      fake2_f.reshape((-1, 16, 2)), keys[11])
+                                      fake2_f.reshape((-1, 16, 2)), keys[11],
+                                      alpha=_a(9))
             m2 = {k2: (m2[k2] + mf2[k2]) / 2 for k2 in m2}
             if use_motion:
-                md2d_state, mmf2 = md2d_step(md2d_state, real2_f, fake2_f, keys[12])
+                md2d_state, mmf2 = md2d_step(md2d_state, real2_f, fake2_f,
+                                             keys[12], alpha=_a(10))
                 if playback:
                     md2d_state, mmfb2 = md2d_step(
                         md2d_state, time_reverse(real2_f), time_reverse(fake2_f),
-                        keys[13])
+                        keys[13], alpha=_a(11))
                     mmf2 = {k2: (mmf2[k2] + mmfb2[k2]) / 2 for k2 in mmf2}
                 mm2 = {k2: (mm2[k2] + mmf2[k2]) / 2 for k2 in mm2}
         metrics.update({f"2d_{k2}": v for k2, v in m2.items()})
@@ -229,14 +286,18 @@ def build_video_gan(args, train_subjects, video_frames: int, key,
 
     @functools.partial(jax.jit, static_argnames=("use_motion",))
     def generator_step(gen_state, d3d_params, d2d_params, md3d_params,
-                       md2d_params, bone_len, cam_idx, key, use_motion: bool):
+                       md2d_params, bone_len, cam_idx, key, use_motion: bool,
+                       noise=None, scaler8=None):
+        """Every-5th-iteration generator update (video_GAN_fun.py:422-558).
+        ``noise``/``scaler8`` override the random draws (parity tests)."""
         q = quats[cam_idx][None]
         t = trans[cam_idx][None]
         B = bone_len.shape[0]
         intr = jnp.broadcast_to(intrs[cam_idx][None], (B * F, 9))
 
         def loss_fn(params):
-            fake_world = synth_fake(params, bone_len, key)        # (B,F,16,3)
+            fake_world = synth_fake(params, bone_len, key,
+                                    noise=noise, scaler8=scaler8)  # (B,F,16,3)
             fake_cam3d = world_to_camera_batch(
                 fake_world.reshape((B * F, 16, 3)), q, t)
             fake_2d = project_to_2d(fake_cam3d, intr).reshape((B, F, 16, 2))
@@ -278,8 +339,8 @@ def build_video_gan(args, train_subjects, video_frames: int, key,
             return -gen_score
 
         loss, grads = jax.value_and_grad(loss_fn)(gen_state.params)
-        updates, opt_state = txs["gen"].update(grads, gen_state.opt_state,
-                                               gen_state.params)
+        updates, opt_state = gen_tx.update(grads, gen_state.opt_state,
+                                           gen_state.params)
         params = jax.tree.map(lambda p, u: p + u, gen_state.params, updates)
         return (gen_state.replace(params=params, opt_state=opt_state),
                 {"g_cost": -loss})
@@ -347,16 +408,9 @@ def build_video_gan(args, train_subjects, video_frames: int, key,
                          (start3d, start2d, cam_sel, keys))
         return gen_state, d3d_state, d2d_state, md3d_state, md2d_state, outs
 
-    return VideoGanBundle(
-        gen_state=make_state(txs["gen"], gen_params),
-        d3d_state=make_state(txs["d3d"], d3d_params),
-        d2d_state=make_state(txs["d2d"], d2d_params),
-        md3d_state=make_state(txs["md3d"], md3d_params),
-        md2d_state=make_state(txs["md2d"], md2d_params),
-        steps=VideoSteps(critics_step=critics_step,
-                         generator_step=generator_step,
-                         epoch_step=epoch_step),
-        gen_cfg=gen_cfg, hyper=hyper, playback=playback)
+    return VideoSteps(critics_step=critics_step,
+                      generator_step=generator_step,
+                      epoch_step=epoch_step)
 
 
 def run_video_gan_epoch(gan: VideoGanBundle, gan_loader, batch_size: int,

@@ -101,7 +101,8 @@ def gradient_penalty(critic_apply, params, real, fake, key, lambda_gp):
     return jnp.mean((norms - 1.0) ** 2) * lambda_gp
 
 
-def make_critic_step(critic_apply, tx, lambda_gp: float):
+def make_critic_step(critic_apply, tx, lambda_gp: float,
+                     gp_granularity: int = 1):
     """One compiled critic Adam update.  Returns (state, metrics) with the
     reference's logged quantities (D_real, D_fake, Wasserstein, D_cost).
 
@@ -111,19 +112,29 @@ def make_critic_step(critic_apply, tx, lambda_gp: float):
     slices) — same math as three separate passes (the naive composition is
     asserted equal in tests/test_gan.py), but each matmul is 3x taller and
     the op count is ~3x lower, which matters on this overhead-bound path
-    (the matmuls themselves are microseconds at these shapes)."""
+    (the matmuls themselves are microseconds at these shapes).
+
+    ``gp_granularity`` splits each leading-dim sample into that many GP rows:
+    the interpolation alpha is drawn per row and the gradient norm is taken
+    per row (calc_gradient_penalty views data as (BATCH_SIZE, -1),
+    Fk_discriminator.py:207).  The video epoch passes video_frames for the
+    motion-2D critic, whose reference update is called WITHOUT
+    dis_mode='motion' (video_GAN_fun.py:341,355,393) and therefore
+    interpolates and norms per FRAME of the clip, unlike the motion-3D
+    critic (dis_mode='motion' -> per clip)."""
 
     @jax.jit
     def step(state: NetState, real, fake, key, alpha=None):
-        # ``alpha`` (B, 1) overrides the GP interpolation draw — used by the
-        # update-level reference-parity tests to inject the reference's
-        # torch.rand(B, 1) (Fk_discriminator.py:211); production passes None.
+        # ``alpha`` (B*gp_granularity, 1) overrides the GP interpolation draw
+        # — used by the update-level reference-parity tests to inject the
+        # reference's torch.rand (Fk_discriminator.py:211); production None.
         B = real.shape[0]
+        Bg = B * gp_granularity
 
         def loss_fn(params):
-            r = real.reshape((B, -1))
-            f = fake.reshape((B, -1))
-            a = (jax.random.uniform(key, (B, 1), dtype=r.dtype)
+            r = real.reshape((Bg, -1))
+            f = fake.reshape((Bg, -1))
+            a = (jax.random.uniform(key, (Bg, 1), dtype=r.dtype)
                  if alpha is None else alpha)
             interp = a * r + (1.0 - a) * f
             stacked = jnp.concatenate([r, f, interp]).reshape(
@@ -135,7 +146,7 @@ def make_critic_step(critic_apply, tx, lambda_gp: float):
             # GP input-gradient: cotangent selects only the interp slice
             cot = jnp.zeros_like(scores).at[2 * B:].set(1.0)
             (g_stacked,) = vjp(cot)
-            g = g_stacked.reshape((3 * B, -1))[2 * B:]
+            g = g_stacked.reshape((3 * Bg, -1))[2 * Bg:]
             norms = jnp.sqrt(jnp.sum(g ** 2, axis=1) + 1e-12)
             gp = jnp.mean((norms - 1.0) ** 2) * lambda_gp
 
@@ -189,18 +200,27 @@ def make_single_frame_steps(gen_apply, d3d_apply, d2d_apply,
                                 interpret=hyper.pallas_interpret)
 
     def critics_step(d3d_state, d2d_state, gen_params,
-                     real_3d_cam, cam_param16, target_2d, key):
+                     real_3d_cam, cam_param16, target_2d, key, **overrides):
         """One GAN iteration's critic phase.  real_3d_cam (B, 16, 3) in
         camera space, cam_param16 (B, 16) = intrinsic(9) + quat(4) + t(3).
         Returns new critic states, the iteration's random camera index,
-        harvested bone lengths, the fake buffers, and metrics."""
+        harvested bone lengths, the fake buffers, and metrics.
+
+        ``overrides`` (parity tests only; production passes none): ``noise``
+        / ``scaler8`` for the fake synthesis, ``cam_idx`` for the projection
+        camera, ``alphas`` — a 4-tuple of GP interpolation draws in the
+        reference's update order (d3d, d3d-flip, d2d, d2d-flip;
+        model_fk_gan_train.py:314,333,382,401)."""
         return _critics_step(d3d_state, d2d_state, gen_params,
-                             real_3d_cam, cam_param16, target_2d, key)
+                             real_3d_cam, cam_param16, target_2d, key,
+                             **overrides)
 
     @jax.jit
     def _critics_step(d3d_state, d2d_state, gen_params,
-                      real_3d_cam, cam_param16, target_2d, key):
+                      real_3d_cam, cam_param16, target_2d, key,
+                      noise=None, scaler8=None, cam_idx=None, alphas=None):
         k_fake, k_cam, k_d3a, k_d3b, k_d2a, k_d2b = jax.random.split(key, 6)
+        _a = (lambda i: None) if alphas is None else (lambda i: alphas[i])
 
         # Harvest bone lengths from the real batch (Fk_generator.py:107-111).
         bone_len = bone_lengths_fk(real_3d_cam)
@@ -214,18 +234,21 @@ def make_single_frame_steps(gen_apply, d3d_apply, d2d_apply,
         # so the fused Pallas FK kernel is legal here when enabled).
         fake_world = jax.lax.stop_gradient(
             synth_fake(gen_params, bone_len, k_fake,
-                       use_pallas=hyper.use_pallas_fk))
+                       use_pallas=hyper.use_pallas_fk,
+                       noise=noise, scaler8=scaler8))
         fake_root = fake_world[:, :1]
         fake_rel = fake_world - fake_root
 
-        d3d_state, m3 = d3d_step(d3d_state, real_rel, fake_rel, k_d3a)
+        d3d_state, m3 = d3d_step(d3d_state, real_rel, fake_rel, k_d3a,
+                                 alpha=_a(0))
         if hyper.flip:
             d3d_state, m3f = d3d_step(d3d_state, flip_pose(real_rel),
-                                      flip_pose(fake_rel), k_d3b)
+                                      flip_pose(fake_rel), k_d3b, alpha=_a(1))
             m3 = {k: (m3[k] + m3f[k]) / 2 for k in m3}
 
         # One random training camera projects the whole fake batch.
-        cam_idx = jax.random.randint(k_cam, (), 0, n_cams)
+        if cam_idx is None:
+            cam_idx = jax.random.randint(k_cam, (), 0, n_cams)
         q = cam_quats[cam_idx][None]
         t = cam_trans[cam_idx][None]
         intr = jnp.broadcast_to(cam_intrs[cam_idx][None],
@@ -233,10 +256,11 @@ def make_single_frame_steps(gen_apply, d3d_apply, d2d_apply,
         fake_cam3d = world_to_camera_batch(fake_rel + fake_root, q, t)
         fake_2d = project_to_2d(fake_cam3d, intr)
 
-        d2d_state, m2 = d2d_step(d2d_state, target_2d, fake_2d, k_d2a)
+        d2d_state, m2 = d2d_step(d2d_state, target_2d, fake_2d, k_d2a,
+                                 alpha=_a(2))
         if hyper.flip:
             d2d_state, m2f = d2d_step(d2d_state, flip_pose(target_2d),
-                                      flip_pose(fake_2d), k_d2b)
+                                      flip_pose(fake_2d), k_d2b, alpha=_a(3))
             m2 = {k: (m2[k] + m2f[k]) / 2 for k in m2}
 
         metrics = {**{f"3d_{k}": v for k, v in m3.items()},

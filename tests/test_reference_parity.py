@@ -367,7 +367,9 @@ def _transplant_d2d(ref_d, params):
 
 
 def _transplant_gen_trunk(ref_g, params):
-    """Reference Fk_Generator trunk -> flax FkGeneratorNet params."""
+    """Reference Fk_Generator trunk -> flax FkGeneratorNet params.  The
+    Video_Fk_Generator trunk is identical apart from deconv_out's output
+    width (F*35, Fk_generator.py:290), so this works for both."""
     mapping = [
         (ref_g.preprocess[0], params["DensePrelude_0"]["Dense_0"]),
         (ref_g.block1.fc1, params["DenseResBlock_0"]["Dense_0"]),
@@ -380,6 +382,52 @@ def _transplant_gen_trunk(ref_g, params):
     ]
     for lin, leaf in mapping:
         _copy_linear(lin, leaf)
+
+
+def _transplant_md3d(ref_d, params):
+    """Reference Video_motion_Fk_3D_Discriminator -> flax
+    MotionFk3DDiscriminator params (KCS, diff-KCS, raw-3D, diff-3D towers
+    + the KCS merge head)."""
+    towers = [
+        (ref_d.special_KCS_previous, [ref_d.special_KCS_block1,
+                                      ref_d.special_KCS_block2,
+                                      ref_d.special_KCS_block3]),
+        (ref_d.diff_special_KCS_previous, [ref_d.diff_special_KCS_block1,
+                                           ref_d.diff_special_KCS_block2,
+                                           ref_d.diff_special_KCS_block3]),
+        (ref_d.pos_3d_previous, [ref_d.pos_3d_block1, ref_d.pos_3d_block2,
+                                 ref_d.pos_3d_block3]),
+        (ref_d.diff_pos_3d_previous, [ref_d.diff_pos_3d_block1,
+                                      ref_d.diff_pos_3d_block2,
+                                      ref_d.diff_pos_3d_block3]),
+    ]
+    for i, (prelude, blocks) in enumerate(towers):
+        _copy_tower(prelude, blocks, params[f"ResTower_{i}"])
+    _copy_linear(ref_d.kcs_merge_previous[0],
+                 params["DensePrelude_0"]["Dense_0"])
+    _copy_linear(ref_d.kcs_merge_block1.fc1,
+                 params["DenseResBlock_0"]["Dense_0"])
+    _copy_linear(ref_d.kcs_merge_block1.fc2,
+                 params["DenseResBlock_0"]["Dense_1"])
+    _copy_linear(ref_d.kcs_output, params["Dense_0"])
+
+
+def _transplant_md2d(ref_d, params):
+    """Reference Video_motion_Fk_2D_Discriminator -> flax
+    MotionFk2DDiscriminator params (pose + root-trajectory-diff towers)."""
+    _copy_tower(ref_d.pos_2d_previous,
+                [ref_d.pos_2d_block1, ref_d.pos_2d_block2,
+                 ref_d.pos_2d_block3], params["ResTower_0"])
+    _copy_tower(ref_d.root_diff_2d_previous,
+                [ref_d.root_diff_2d_block1, ref_d.root_diff_2d_block2,
+                 ref_d.root_diff_2d_block3], params["ResTower_1"])
+    _copy_linear(ref_d.merge_previous[0],
+                 params["DensePrelude_0"]["Dense_0"])
+    _copy_linear(ref_d.merge_block1.fc1,
+                 params["DenseResBlock_0"]["Dense_0"])
+    _copy_linear(ref_d.merge_block1.fc2,
+                 params["DenseResBlock_0"]["Dense_1"])
+    _copy_linear(ref_d.merge_output, params["Dense_0"])
 
 
 class TestDiscriminatorParity:
@@ -461,29 +509,7 @@ class TestMotionDiscriminatorParity:
         clip = np.random.RandomState(23).normal(
             size=(4, F, 16, 3)).astype(np.float32) * 0.4
         params = mine.init(jax.random.PRNGKey(0), jnp.asarray(clip))["params"]
-
-        towers = [
-            (ref_d.special_KCS_previous, [ref_d.special_KCS_block1,
-                                          ref_d.special_KCS_block2,
-                                          ref_d.special_KCS_block3]),
-            (ref_d.diff_special_KCS_previous, [ref_d.diff_special_KCS_block1,
-                                               ref_d.diff_special_KCS_block2,
-                                               ref_d.diff_special_KCS_block3]),
-            (ref_d.pos_3d_previous, [ref_d.pos_3d_block1, ref_d.pos_3d_block2,
-                                     ref_d.pos_3d_block3]),
-            (ref_d.diff_pos_3d_previous, [ref_d.diff_pos_3d_block1,
-                                          ref_d.diff_pos_3d_block2,
-                                          ref_d.diff_pos_3d_block3]),
-        ]
-        for i, (prelude, blocks) in enumerate(towers):
-            self._copy_tower(prelude, blocks, params[f"ResTower_{i}"])
-        self._copy(ref_d.kcs_merge_previous[0],
-                   params["DensePrelude_0"]["Dense_0"])
-        self._copy(ref_d.kcs_merge_block1.fc1,
-                   params["DenseResBlock_0"]["Dense_0"])
-        self._copy(ref_d.kcs_merge_block1.fc2,
-                   params["DenseResBlock_0"]["Dense_1"])
-        self._copy(ref_d.kcs_output, params["Dense_0"])
+        _transplant_md3d(ref_d, params)
 
         with torch.no_grad():
             expected = ref_d(torch.from_numpy(clip)).numpy()
@@ -505,20 +531,7 @@ class TestMotionDiscriminatorParity:
         clip = np.random.RandomState(24).normal(
             size=(4, F, 16, 2)).astype(np.float32) * 0.4
         params = mine.init(jax.random.PRNGKey(0), jnp.asarray(clip))["params"]
-
-        self._copy_tower(ref_d.pos_2d_previous,
-                         [ref_d.pos_2d_block1, ref_d.pos_2d_block2,
-                          ref_d.pos_2d_block3], params["ResTower_0"])
-        self._copy_tower(ref_d.root_diff_2d_previous,
-                         [ref_d.root_diff_2d_block1, ref_d.root_diff_2d_block2,
-                          ref_d.root_diff_2d_block3], params["ResTower_1"])
-        self._copy(ref_d.merge_previous[0],
-                   params["DensePrelude_0"]["Dense_0"])
-        self._copy(ref_d.merge_block1.fc1,
-                   params["DenseResBlock_0"]["Dense_0"])
-        self._copy(ref_d.merge_block1.fc2,
-                   params["DenseResBlock_0"]["Dense_1"])
-        self._copy(ref_d.merge_output, params["Dense_0"])
+        _transplant_md2d(ref_d, params)
 
         with torch.no_grad():
             expected = ref_d(torch.from_numpy(clip)).numpy()
@@ -1216,6 +1229,103 @@ class TestUpdateDynamicsParity:
         assert _tree_max_diff(delta_ref, jax.tree.map(jnp.zeros_like,
                                                       delta_ref)) > 1e-7
 
+    # ---- the full fused critic block ------------------------------------
+
+    def test_full_critic_block_sgd(self, ref, monkeypatch):
+        """The fused single-frame ``critics_step`` program (flip on: 4
+        sequential critic sub-updates sharing state, plus the in-program
+        synthesis and camera projection) vs the reference's inline critic
+        block (model_fk_gan_train.py:289-418) with every draw injected.
+        Pins the update order d3d, d3d-flip, d2d, d2d-flip and the flip
+        averaging on top of the per-update parity above."""
+        import optax
+
+        from dhaug_tpu.gan.wgan import camera_bank
+        from dhaug_tpu.train.state import make_state
+        B = self.B
+        ref_g, net, gen_params, cfg = self._build_gen(ref, seed=30)
+        ref_d3, _, d3_params, apply_d3 = self._build_3d(ref, seed=31)
+        ref_d2, _, d2_params, apply_d2 = self._build_2d(ref, seed=32)
+        apply_gen = lambda p, x: net.apply({"params": p}, x)
+
+        rng = np.random.RandomState(74)
+        real3d = rng.normal(size=(B, 16, 3)).astype(np.float32) * 0.4
+        real2d = rng.normal(size=(B, 16, 2)).astype(np.float32) * 0.3
+        noise = rng.normal(size=(B, 128)).astype(np.float32)
+        quats, trans, intrs = camera_bank(["S1"])
+        cam16 = np.stack([np.concatenate([np.asarray(intrs[b % 4]),
+                                          np.asarray(quats[b % 4]),
+                                          np.asarray(trans[b % 4])])
+                          for b in range(B)]).astype(np.float32)
+        cam_idx = 1
+        alphas = [_alpha_for_seed(s, B) for s in (320, 321, 322, 323)]
+
+        # --- reference inline block (:289-418): world conversion per row,
+        # root-centre, fake synthesis, d3d(+flip), projection, d2d(+flip)
+        _cpu_as_cuda(monkeypatch)
+        args = _update_args(B)
+        one = torch.tensor(1, dtype=torch.float32)
+        mone = one * -1
+        opts = {m: torch.optim.SGD(m.parameters(), lr=self.LR)
+                for m in (ref_d3, ref_d2)}
+        inputs_3d = torch.from_numpy(real3d.copy())
+        cam_param = torch.from_numpy(cam16.copy())
+        with torch.no_grad():
+            ref_g.GAN_generator_get_bone_length(inputs_3d)
+            fake = ref_g(torch.from_numpy(noise.copy())).view(-1, 16, 3)
+        real_world = ref.camera.video_GAN_torch_camera_to_world(
+            inputs_3d, R=cam_param[:, 9:13], t=cam_param[:, 13:16])
+        real_rel = real_world - real_world[:, :1, :]
+        fake_root = torch.clone(fake[:, :1, :])
+        fake_rel = fake - fake[:, :1, :]
+
+        def upd(model, r, f, seed):
+            torch.manual_seed(seed)
+            w, _ = ref.gan_train.train_Fk_discriminator(
+                model, torch.clone(r), torch.clone(f), _summary_stub(),
+                _WriterStub(), "blk", opts[model], args, one, mone)
+            return float(w.detach())
+
+        w3 = upd(ref_d3, real_rel, fake_rel, 320)
+        w3f = upd(ref_d3, self._torch_flip(real_rel),
+                  self._torch_flip(fake_rel), 321)
+        w3 = (w3 + w3f) / 2
+        cam_R = torch.from_numpy(np.asarray(quats[cam_idx])).view(1, 4)
+        cam_t = torch.from_numpy(np.asarray(trans[cam_idx])).view(1, 3)
+        cam_para = torch.from_numpy(np.broadcast_to(
+            np.asarray(intrs[cam_idx])[None], (B, 9)).copy())
+        fake_cam = ref.camera.GAN_torch_world_to_camera(
+            fake_rel + fake_root, R=torch.clone(cam_R), t=torch.clone(cam_t))
+        fake_2d = ref.camera.project_to_2d(fake_cam, cam_para)
+        w2 = upd(ref_d2, torch.from_numpy(real2d.copy()), fake_2d, 322)
+        w2f = upd(ref_d2, self._torch_flip(torch.from_numpy(real2d.copy())),
+                  self._torch_flip(fake_2d), 323)
+        w2 = (w2 + w2f) / 2
+
+        # --- mine: ONE fused critics_step (the production program)
+        steps, tx, _ = self._my_steps(apply_gen, apply_d3, apply_d2, cfg,
+                                      True, quats, trans, intrs)
+        d3_state = make_state(tx, d3_params)
+        d2_state = make_state(tx, d2_params)
+        p0 = {"d3": _snapshot(d3_params), "d2": _snapshot(d2_params)}
+        (d3_s, d2_s, _, _, _, _, _, metrics) = steps.critics_step(
+            d3_state, d2_state, gen_params, jnp.asarray(real3d),
+            jnp.asarray(cam16), jnp.asarray(real2d), jax.random.PRNGKey(0),
+            noise=jnp.asarray(noise),
+            scaler8=jnp.zeros((B, 8), jnp.float32),
+            cam_idx=jnp.asarray(cam_idx),
+            alphas=tuple(jnp.asarray(a) for a in alphas))
+
+        assert abs(float(metrics["3d_wasserstein"]) - w3) < 5e-4
+        assert abs(float(metrics["2d_wasserstein"]) - w2) < 5e-4
+        for name, state, ref_model, transplant in (
+                ("d3", d3_s, ref_d3, _transplant_d3d),
+                ("d2", d2_s, ref_d2, _transplant_d2d)):
+            after = _snapshot(p0[name])
+            transplant(ref_model, after)
+            assert _tree_max_diff(state.params, after) < 1e-5, name
+            assert _tree_max_diff(state.params, p0[name]) > 1e-6, name
+
     # ---- 20-iteration trajectory ----------------------------------------
 
     def test_training_trajectory_sgd(self, ref, monkeypatch):
@@ -1342,3 +1452,461 @@ class TestUpdateDynamicsParity:
             after = _snapshot(state.params)
             transplant(ref_model, after)   # overwrite with reference weights
             assert _tree_max_diff(state.params, after) < 1e-4
+
+
+class TestVideoUpdateDynamicsParity:
+    """Video-mode twin of TestUpdateDynamicsParity: optimizer updates of the
+    MOTION critics and the Video_Fk_Generator compared against the executed
+    reference with transplanted weights, injected GP alphas / noise / bone
+    scalers, and SGD substituted on both sides.
+
+    The reference reuses train_Fk_discriminator for the video critics
+    (video_GAN_fun.py:208-345) with a crucial asymmetry this suite pins:
+
+      * motion-3D critic updates pass dis_mode='motion', so
+        calc_gradient_penalty interpolates and takes gradient norms PER CLIP
+        (BATCH_SIZE=B, model_fk_gan_train.py:206-215);
+      * motion-2D critic updates omit dis_mode (video_GAN_fun.py:341-345),
+        so with single_or_multi_train_mode='multi' the GP batch is
+        B*receptive_field — interpolation and norms PER FRAME — reproduced
+        here by make_critic_step(gp_granularity=F).
+
+    The generator update executes video_GAN_fun.py:422-556 inline with the
+    reference's own Video_Fk_Generator (FK inside, per-frame camera
+    projection, all four critics, detached flip branches).  Playback is off:
+    its generator branch hits the reference's :467 reshape bug (16*2 on 3D
+    data) that dhaug_tpu deliberately fixes (gan/video.py module docstring).
+    """
+
+    LR = 0.01
+    B = 8
+    F = 9    # = video_receptive_field('3,3') (video_mode_operate.py:411)
+    D = 48
+
+    def _video_args(self):
+        args = make_ref_args(batch_size=self.B, mode="multi",
+                             architecture="3,3")
+        args.GAN_LAMBDA = 10.0
+        return args
+
+    # ---- fixtures --------------------------------------------------------
+
+    def _build_md3d(self, ref, seed=10):
+        import types
+
+        from dhaug_tpu.models.discriminators import MotionFk3DDiscriminator
+        args = types.SimpleNamespace(video_Dis_DenseDim_3D=self.D,
+                                     motion_Dis_whether_use_3dPos_branch=True,
+                                     motion_Dis_whether_use_3dDiff_branch=True)
+        torch.manual_seed(seed)
+        ref_d = ref.disc.Video_motion_Fk_3D_Discriminator(
+            torch.device("cpu"), args, self.F)
+        mine = MotionFk3DDiscriminator(video_frames=self.F, dense_dim=self.D,
+                                       use_pos_branch=True,
+                                       use_diff_branch=True)
+        params = mine.init(jax.random.PRNGKey(0),
+                           jnp.zeros((2, self.F, 16, 3)))["params"]
+        _transplant_md3d(ref_d, params)
+        apply = lambda p, x: mine.apply({"params": p}, x)
+        return ref_d, mine, params, apply
+
+    def _build_md2d(self, ref, seed=11):
+        import types
+
+        from dhaug_tpu.models.discriminators import MotionFk2DDiscriminator
+        args = types.SimpleNamespace(video_Dis_DenseDim_2D=self.D)
+        torch.manual_seed(seed)
+        ref_d = ref.disc.Video_motion_Fk_2D_Discriminator(
+            torch.device("cpu"), args, self.F)
+        mine = MotionFk2DDiscriminator(video_frames=self.F, dense_dim=self.D)
+        params = mine.init(jax.random.PRNGKey(0),
+                           jnp.zeros((2, self.F, 16, 2)))["params"]
+        _transplant_md2d(ref_d, params)
+        apply = lambda p, x: mine.apply({"params": p}, x)
+        return ref_d, mine, params, apply
+
+    def _build_video_gen(self, ref, seed=12, dense=48):
+        """Reference Video_Fk_Generator (FK inside) + my net, transplanted."""
+        from dhaug_tpu.models.generator import FkGeneratorNet, GeneratorConfig
+        args = self._video_args()
+        args.GAN_OUTPUT_DIM = 35
+        args.Gen_DenseDim = dense
+        args.GAN_whether_use_preAngle = True
+        args.whether_use_RT = True
+        # '' would broadcast-crash in the reference's video forward
+        # (Fk_generator.py:409-424 multiplies (B*F,) bones by a (B,) scaler);
+        # 'different' is the reference's video configuration.
+        args.bone_len_scaler = "different"
+        fk_class = ref.fk.Forward_Kinematics_DH_Model(args, [], None)
+        torch.manual_seed(seed)
+        ref_g = ref.gen.Video_Fk_Generator(self.F, fk_class, args,
+                                           torch.device("cpu"))
+        ref_g.train_num = 1  # dodge the %500==1 heatmap dump side effect
+
+        cfg = GeneratorConfig(dense_dim=dense, use_pre_angle=True,
+                              use_global_rot=True, video_frames=self.F)
+        net = FkGeneratorNet(cfg)
+        params = net.init(jax.random.PRNGKey(0),
+                          jnp.zeros((2, 128)))["params"]
+        _transplant_gen_trunk(ref_g, params)
+        return ref_g, net, params, cfg
+
+    def _real_clip(self, rng, channels=3):
+        """(B, F, 16, ch) clips whose frames share EXACT bone lengths (one
+        base pose per clip + per-frame rigid root translation), so the
+        reference's per-frame boneLength rows (Fk_generator.py:294-300) and
+        my per-clip bone_len agree."""
+        base = rng.normal(size=(self.B, 1, 16, channels)).astype(np.float32) * 0.4
+        drift = rng.normal(size=(self.B, self.F, 1, channels)).astype(np.float32) * 0.05
+        return base + drift
+
+    # ---- motion critic updates ------------------------------------------
+
+    def _motion_critic_update_case(self, ref, monkeypatch, which):
+        import optax
+
+        from dhaug_tpu.gan.wgan import make_critic_step
+        from dhaug_tpu.train.state import make_state
+        B, F = self.B, self.F
+        rng = np.random.RandomState(70 if which == "3d" else 71)
+        if which == "3d":
+            ref_d, mine, params, apply = self._build_md3d(ref)
+            real = rng.normal(size=(B, F, 16, 3)).astype(np.float32) * 0.4
+            fake = rng.normal(size=(B, F, 16, 3)).astype(np.float32) * 0.4
+            # dis_mode='motion': the reference call site hands the critic
+            # the (B*F, 48) flat view (video_GAN_fun.py:202-217); GP batch B
+            ref_real = torch.from_numpy(real.reshape(B * F, 48).copy())
+            ref_fake = torch.from_numpy(fake.reshape(B * F, 48).copy())
+            dis_mode = "motion"
+            alpha = _alpha_for_seed(131, B)          # per CLIP
+            gp_granularity = 1
+        else:
+            ref_d, mine, params, apply = self._build_md2d(ref)
+            real = rng.normal(size=(B, F, 16, 2)).astype(np.float32) * 0.4
+            fake = rng.normal(size=(B, F, 16, 2)).astype(np.float32) * 0.4
+            # no dis_mode: clip-shaped input, GP batch B*receptive_field
+            ref_real = torch.from_numpy(real.copy())
+            ref_fake = torch.from_numpy(fake.copy())
+            dis_mode = "single"
+            alpha = _alpha_for_seed(132, B * F)      # per FRAME
+            gp_granularity = F
+        p0 = _snapshot(params)
+
+        _cpu_as_cuda(monkeypatch)
+        opt = torch.optim.SGD(ref_d.parameters(), lr=self.LR)
+        one = torch.tensor(1, dtype=torch.float32)
+        mone = one * -1
+        torch.manual_seed(131 if which == "3d" else 132)
+        w_ref, cost_ref = ref.gan_train.train_Fk_discriminator(
+            ref_d, ref_real, ref_fake, _summary_stub(), _WriterStub(),
+            f"motion_{which}", opt, self._video_args(), one, mone,
+            dis_mode=dis_mode)
+
+        tx = optax.sgd(self.LR)
+        step = make_critic_step(apply, tx, 10.0,
+                                gp_granularity=gp_granularity)
+        state = make_state(tx, params)
+        state, metrics = step(state, jnp.asarray(real), jnp.asarray(fake),
+                              jax.random.PRNGKey(0), alpha=jnp.asarray(alpha))
+
+        assert abs(float(metrics["wasserstein"]) - float(w_ref)) < 1e-4
+        assert abs(float(metrics["d_cost"]) - float(cost_ref)) < 1e-4
+
+        params_ref_after = _snapshot(p0)
+        if which == "3d":
+            _transplant_md3d(ref_d, params_ref_after)
+        else:
+            _transplant_md2d(ref_d, params_ref_after)
+        delta_mine = jax.tree.map(lambda a, b: a - b, state.params, p0)
+        delta_ref = jax.tree.map(lambda a, b: a - b, params_ref_after, p0)
+        assert _tree_max_diff(delta_mine, delta_ref) < 1e-6
+        assert _tree_max_diff(state.params, params_ref_after) < 1e-6
+        assert _tree_max_diff(delta_ref, jax.tree.map(jnp.zeros_like,
+                                                      delta_ref)) > 1e-6
+
+    def test_motion_3d_critic_update_sgd(self, ref, monkeypatch):
+        self._motion_critic_update_case(ref, monkeypatch, "3d")
+
+    def test_motion_2d_critic_update_sgd(self, ref, monkeypatch):
+        self._motion_critic_update_case(ref, monkeypatch, "2d")
+
+    # ---- video generator update -----------------------------------------
+
+    def test_video_generator_update_sgd(self, ref, monkeypatch):
+        import optax
+
+        from dhaug_tpu.gan.video import make_video_steps
+        from dhaug_tpu.gan.wgan import GanHyper, camera_bank
+        from dhaug_tpu.ops.bones import bone_lengths_fk
+        from dhaug_tpu.train.state import make_state
+        B, F = self.B, self.F
+        ref_g, net, gen_params, cfg = self._build_video_gen(ref)
+        ref_d3, _, d3_params, apply_d3 = self._build_3d(ref, seed=13)
+        ref_d2, _, d2_params, apply_d2 = self._build_2d(ref, seed=14)
+        ref_md3, _, md3_params, apply_md3 = self._build_md3d(ref, seed=15)
+        ref_md2, _, md2_params, apply_md2 = self._build_md2d(ref, seed=16)
+        apply_gen = lambda p, x: net.apply({"params": p}, x)
+
+        rng = np.random.RandomState(72)
+        real = self._real_clip(rng)                     # (B, F, 16, 3)
+        noise = rng.normal(size=(B, 128)).astype(np.float32)
+        quats, trans, intrs = camera_bank(["S1"])
+        cam_idx = 0
+        # GanHyper defaults == reference flag defaults (asserted in the
+        # single-frame suite); motion weights both 1.0
+        w3d, w2d, w3dm, w2dm = 1.0, 0.2, 1.0, 1.0
+
+        # --- reference: video_GAN_fun.py:422-556 inline, flip on
+        _cpu_as_cuda(monkeypatch)
+        with torch.no_grad():
+            ref_g.GAN_generator_get_bone_length(torch.from_numpy(real.copy()))
+        # snapshot the FK RNG to precompute the 'different' scaler draw the
+        # reference forward will consume (Fk_generator.py:383-390)
+        probe = np.random.RandomState()
+        probe.set_state(ref_g.FK_DH_Class.random.get_state())
+        scaler8 = (probe.randint(-200, 200, size=(B, 8)) / 1000.0
+                   ).astype(np.float32)
+        g_opt = torch.optim.SGD(ref_g.parameters(), lr=self.LR)
+        loss_ref = self._ref_video_generator_update(
+            ref, ref_g, ref_d3, ref_d2, ref_md3, ref_md2, g_opt, noise,
+            quats, trans, intrs, cam_idx, (w3d, w2d, w3dm, w2dm), flip=True)
+
+        # --- mine: the production video generator_step with SGD
+        hyper = GanHyper(flip=True, bone_len_scaler="different",
+                         use_pallas_fk=False)
+        tx = optax.sgd(self.LR)
+        steps = make_video_steps(apply_gen, apply_d3, apply_d2, apply_md3,
+                                 apply_md2, tx, tx, tx, tx, tx, cfg, hyper,
+                                 quats, trans, intrs, playback=False)
+        p0 = _snapshot(gen_params)
+        gen_state = make_state(tx, gen_params)
+        bone_len = bone_lengths_fk(jnp.asarray(real))[:, 0]   # (B, 15)
+        gen_state, gm = steps.generator_step(
+            gen_state, d3_params, d2_params, md3_params, md2_params,
+            bone_len, jnp.asarray(cam_idx), jax.random.PRNGKey(0),
+            use_motion=True, noise=jnp.asarray(noise),
+            scaler8=jnp.asarray(scaler8))
+
+        assert abs(float(gm["g_cost"]) - loss_ref) < 2e-4
+
+        params_ref_after = _snapshot(p0)
+        _transplant_gen_trunk(ref_g, params_ref_after)
+        delta_mine = jax.tree.map(lambda a, b: a - b, gen_state.params, p0)
+        delta_ref = jax.tree.map(lambda a, b: a - b, params_ref_after, p0)
+        assert _tree_max_diff(delta_mine, delta_ref) < 1e-5
+        assert _tree_max_diff(delta_ref, jax.tree.map(jnp.zeros_like,
+                                                      delta_ref)) > 1e-7
+
+    # reuse the single-frame builders/flip for the plain critics
+    _build_3d = TestUpdateDynamicsParity._build_3d
+    _build_2d = TestUpdateDynamicsParity._build_2d
+    _torch_flip = staticmethod(TestUpdateDynamicsParity._torch_flip)
+
+    def _ref_video_generator_update(self, ref, ref_g, d3, d2, md3, md2,
+                                    g_opt, noise, quats, trans, intrs,
+                                    cam_idx, weights, flip):
+        """Execute the exact line sequence of video_GAN_fun.py:422-556 with
+        the reference's own modules (warmup passed -> all four critics;
+        playback off).  Returns the reference's gen_loss scalar."""
+        B, F = self.B, self.F
+        w3d, w2d, w3dm, w2dm = weights
+        one = torch.tensor(1, dtype=torch.float32)
+        mone = one * -1
+        ref_g.zero_grad()
+        g_opt.zero_grad()
+        noisev = torch.autograd.Variable(torch.from_numpy(noise.copy()))
+        fake_world = ref_g(noisev).view(-1, 16, 3)          # (B*F, 16, 3)
+        cam_R = torch.from_numpy(np.asarray(quats[cam_idx])).view(1, 4)
+        cam_t = torch.from_numpy(np.asarray(trans[cam_idx])).view(1, 3)
+        cam_para = torch.from_numpy(np.broadcast_to(
+            np.asarray(intrs[cam_idx])[None], (B * F, 9)).copy())
+        fake_cam = ref.camera.GAN_torch_world_to_camera(
+            fake_world, R=torch.clone(cam_R), t=torch.clone(cam_t))
+        fake_2d = ref.camera.project_to_2d(fake_cam, cam_para)
+        fake_rel = fake_world - fake_world[:, :1, :]        # :445-446
+        adv3d = d3(fake_rel).mean()
+        adv2d = d2(fake_2d).mean()
+        adv_m3d = md3(torch.clone(fake_rel)).mean()         # :456
+        adv_m2d = md2(fake_2d).mean()                       # :461
+        if flip:                                            # :484-541
+            f3 = self._torch_flip(fake_rel)                 # detached clones
+            f2 = self._torch_flip(fake_2d)
+            adv3d = (adv3d + d3(f3).mean()) / 2
+            adv2d = (adv2d + d2(f2).mean()) / 2
+            adv_m3d = (adv_m3d + md3(torch.clone(f3)).mean()) / 2
+            adv_m2d = (adv_m2d + md2(f2).mean()) / 2
+        gen_loss = adv3d * w3d + adv2d * w2d + \
+            adv_m3d * w3dm + adv_m2d * w2dm                 # :544-548
+        gen_loss.backward(mone)
+        g_opt.step()
+        return float(gen_loss.detach())
+
+    # ---- the full fused critic block -------------------------------------
+
+    def test_full_critic_block_sgd(self, ref, monkeypatch):
+        """One COMPLETE video critic phase: the fused ``critics_step``
+        program (flip + playback + motion = 12 sequential critic
+        sub-updates sharing state) vs the reference's inline per-iteration
+        critic block (video_GAN_fun.py:169-418) executed with the
+        reference's own modules, SGD, and every random draw injected
+        (noise, bone scaler, camera, 12 GP alphas).  All four critics'
+        parameters and the reported Wasserstein averages must agree —
+        this pins the update ORDER, the flip/playback averaging tree, and
+        the per-clip-vs-per-frame GP asymmetry in one shot."""
+        import optax
+
+        from dhaug_tpu.gan.video import make_video_steps
+        from dhaug_tpu.gan.wgan import GanHyper, camera_bank
+        from dhaug_tpu.train.state import make_state
+        B, F = self.B, self.F
+        ref_g, net, gen_params, cfg = self._build_video_gen(ref, seed=20)
+        ref_d3, _, d3_params, apply_d3 = self._build_3d(ref, seed=21)
+        ref_d2, _, d2_params, apply_d2 = self._build_2d(ref, seed=22)
+        ref_md3, _, md3_params, apply_md3 = self._build_md3d(ref, seed=23)
+        ref_md2, _, md2_params, apply_md2 = self._build_md2d(ref, seed=24)
+        apply_gen = lambda p, x: net.apply({"params": p}, x)
+
+        rng = np.random.RandomState(73)
+        real3d = self._real_clip(rng)                    # (B,F,16,3) cam space
+        real2d = self._real_clip(rng, channels=2)        # (B,F,16,2)
+        noise = rng.normal(size=(B, 128)).astype(np.float32)
+        quats, trans, intrs = camera_bank(["S1"])
+        cam16 = np.stack([np.concatenate([np.asarray(intrs[b % 4]),
+                                          np.asarray(quats[b % 4]),
+                                          np.asarray(trans[b % 4])])
+                          for b in range(B)]).astype(np.float32)
+        cam_idx = 2
+
+        # GP alphas in the reference's 12-call order; per-frame (B*F) except
+        # the motion-3D critic's per-clip draws (dis_mode='motion')
+        seeds = list(range(300, 312))
+        sizes = [B * F, B, B, B * F, B, B,
+                 B * F, B * F, B * F, B * F, B * F, B * F]
+        alphas = [_alpha_for_seed(s, n) for s, n in zip(seeds, sizes)]
+
+        # --- reference: video_GAN_fun.py:169-418 inline
+        _cpu_as_cuda(monkeypatch)
+        args = self._video_args()
+        one = torch.tensor(1, dtype=torch.float32)
+        mone = one * -1
+        opts = {m: torch.optim.SGD(m.parameters(), lr=self.LR)
+                for m in (ref_d3, ref_d2, ref_md3, ref_md2)}
+
+        inputs_3d = torch.from_numpy(real3d.copy())
+        inputs_2d = torch.from_numpy(real2d.copy())
+        cam_param = torch.from_numpy(cam16.copy())
+        with torch.no_grad():
+            ref_g.GAN_generator_get_bone_length(inputs_3d)
+        # snapshot BEFORE the forward: it consumes the 'different' scaler draw
+        probe = np.random.RandomState()
+        probe.set_state(ref_g.FK_DH_Class.random.get_state())
+        with torch.no_grad():
+            fake = ref_g(torch.from_numpy(noise.copy())).view(-1, 16, 3)
+
+        cam_rep = cam_param.unsqueeze(1).repeat(1, F, 1)     # :174-176
+        real_world = ref.camera.video_GAN_torch_camera_to_world(
+            inputs_3d.view(-1, 16, 3), R=cam_rep[:, :, 9:13],
+            t=cam_rep[:, :, 13:16])
+        real_world = real_world - real_world[:, :1, :]       # :181
+        fake_root = torch.clone(fake[:, :1, :])              # :199
+        fake_rel = fake - fake[:, :1, :]
+
+        real_flat = real_world.contiguous().view(-1, 48)     # :202-203
+        fake_flat = fake_rel.contiguous().view(-1, 48)
+
+        def upd(model, r, f, seed, dis_mode="single"):
+            torch.manual_seed(seed)
+            w, _ = ref.gan_train.train_Fk_discriminator(
+                model, torch.clone(r), torch.clone(f), _summary_stub(),
+                _WriterStub(), "blk", opts[model], args, one, mone,
+                dis_mode=dis_mode)
+            return float(w.detach())
+
+        w3 = upd(ref_d3, real_flat, fake_flat, 300)                    # :208
+        wm3 = upd(ref_md3, real_flat, fake_flat, 301, "motion")        # :214
+        rv = real_flat.view(-1, F, 48)                                 # :219-223
+        fv = fake_flat.view(-1, F, 48)
+        wm3b = upd(ref_md3, torch.flip(rv, dims=[1]).contiguous(),
+                   torch.flip(fv, dims=[1]).contiguous(), 302, "motion")
+        wm3 = (wm3 + wm3b) / 2                                         # :231
+        r3 = real_flat.view(-1, 16, 3)                                 # :234-249
+        f3 = fake_flat.view(-1, 16, 3)
+        r3f = self._torch_flip(r3)
+        f3f = self._torch_flip(f3)
+        w3f = upd(ref_d3, r3f, f3f, 303)                               # :254
+        wm3f = upd(ref_md3, r3f, f3f, 304, "motion")                   # :260
+        wm3fb = upd(ref_md3,
+                    torch.flip(r3f.view(-1, F, 48), dims=[1]).contiguous(),
+                    torch.flip(f3f.view(-1, F, 48), dims=[1]).contiguous(),
+                    305, "motion")                                     # :273
+        wm3f = (wm3f + wm3fb) / 2                                      # :279
+        w3 = (w3 + w3f) / 2                                            # :286
+        wm3 = (wm3 + wm3f) / 2                                         # :288
+
+        cam_R = torch.from_numpy(np.asarray(quats[cam_idx])).view(1, 4)
+        cam_t = torch.from_numpy(np.asarray(trans[cam_idx])).view(1, 3)
+        cam_para = torch.from_numpy(np.broadcast_to(
+            np.asarray(intrs[cam_idx])[None], (B * F, 9)).copy())
+        fake_pos = fake_rel.view(-1, 16, 3) + fake_root                # :315-316
+        pos_3d_cam = ref.camera.GAN_torch_world_to_camera(
+            fake_pos, R=torch.clone(cam_R), t=torch.clone(cam_t))      # :321
+        fake_2d = ref.camera.project_to_2d(pos_3d_cam, cam_para)       # :326
+
+        w2 = upd(ref_d2, inputs_2d, fake_2d, 306)                      # :336
+        wm2 = upd(ref_md2, inputs_2d, fake_2d, 307)                    # :342
+        i2v = inputs_2d.view(-1, F, 32)                                # :348-352
+        s2v = fake_2d.view(-1, F, 32)
+        wm2b = upd(ref_md2, torch.flip(i2v, dims=[1]).contiguous(),
+                   torch.flip(s2v, dims=[1]).contiguous(), 308)
+        wm2 = (wm2 + wm2b) / 2                                         # :360
+        r2f = self._torch_flip(inputs_2d.view(-1, 16, 2))              # :370-385
+        f2f = self._torch_flip(fake_2d.view(-1, 16, 2))
+        r2f = r2f.view(-1, F, 32)
+        f2f = f2f.view(-1, F, 32)
+        w2f = upd(ref_d2, r2f, f2f, 309)                               # :387
+        wm2f = upd(ref_md2, r2f, f2f, 310)                             # :394
+        wm2fb = upd(ref_md2, torch.flip(r2f, dims=[1]).contiguous(),
+                    torch.flip(f2f, dims=[1]).contiguous(), 311)       # :405
+        wm2f = (wm2f + wm2fb) / 2                                      # :411
+        w2 = (w2 + w2f) / 2                                            # :415
+        wm2 = (wm2 + wm2f) / 2                                         # :417
+
+        # --- mine: ONE fused critics_step with everything injected
+        scaler8 = (probe.randint(-200, 200, size=(B, 8)) / 1000.0
+                   ).astype(np.float32)
+        hyper = GanHyper(flip=True, bone_len_scaler="different",
+                         use_pallas_fk=False)
+        tx = optax.sgd(self.LR)
+        steps = make_video_steps(apply_gen, apply_d3, apply_d2, apply_md3,
+                                 apply_md2, tx, tx, tx, tx, tx, cfg, hyper,
+                                 quats, trans, intrs, playback=True)
+        states0 = {n: make_state(tx, p) for n, p in
+                   (("d3", d3_params), ("d2", d2_params),
+                    ("md3", md3_params), ("md2", md2_params))}
+        p0 = {n: _snapshot(s.params) for n, s in states0.items()}
+        (d3_s, d2_s, md3_s, md2_s, _, _, _, _, _, metrics) = \
+            steps.critics_step(
+                states0["d3"], states0["d2"], states0["md3"], states0["md2"],
+                gen_params, jnp.asarray(real3d), jnp.asarray(cam16),
+                jnp.asarray(real2d), jax.random.PRNGKey(0), use_motion=True,
+                noise=jnp.asarray(noise), scaler8=jnp.asarray(scaler8),
+                cam_idx=jnp.asarray(cam_idx),
+                alphas=tuple(jnp.asarray(a) for a in alphas))
+
+        # reported Wasserstein averages agree with the reference compositions
+        for mine_key, ref_val in (("3d_wasserstein", w3),
+                                  ("motion_3d_wasserstein", wm3),
+                                  ("2d_wasserstein", w2),
+                                  ("motion_2d_wasserstein", wm2)):
+            assert abs(float(metrics[mine_key]) - ref_val) < 5e-4, mine_key
+
+        # all four critics' parameters agree after the 12 coupled updates
+        for name, state, ref_model, transplant in (
+                ("d3", d3_s, ref_d3, _transplant_d3d),
+                ("d2", d2_s, ref_d2, _transplant_d2d),
+                ("md3", md3_s, ref_md3, _transplant_md3d),
+                ("md2", md2_s, ref_md2, _transplant_md2d)):
+            after = _snapshot(p0[name])
+            transplant(ref_model, after)
+            assert _tree_max_diff(state.params, after) < 1e-5, name
+            assert _tree_max_diff(state.params, p0[name]) > 1e-6, name
