@@ -14,18 +14,67 @@ function_baseline/model_pos_preparation.py:18):
     reference's interchangeable state_dicts (model_pos_preparation.py:42-50).
   * ``PoseFormer``       <- models_baseline/poseformer/model_poseformer.py:85.
 
-All BatchNorm modules use flax's mutable ``batch_stats`` collection;
-dropout draws from the 'dropout' rng.  Torch BN momentum 0.1 == flax 0.9.
+All BatchNorm modules use the torch-convention ``BatchNorm`` below via the
+mutable ``batch_stats`` collection; dropout draws from the 'dropout' rng.
+Torch BN momentum 0.1 == flax-style 0.9.
 """
 from __future__ import annotations
 
 from typing import Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from dhaug_tpu.models.blocks import kaiming
+
+
+class BatchNorm(nn.Module):
+    """Torch-convention batch norm (torch.nn.BatchNorm1d semantics).
+
+    Normalizes with the BIASED batch variance but updates the running
+    variance with the UNBIASED estimate (factor n/(n-1)) — exactly what
+    torch does, and what the reference posenets train with.  flax's
+    nn.BatchNorm uses the biased variance for the running update too, which
+    drifts eval-time behaviour from the reference by O(1/batch) per step
+    (pinned by tests/test_reference_parity.py::TestPosenetUpdateParity).
+    Same param/stat leaf names and auto-name ("BatchNorm_N") as the flax
+    module, so transplants and checkpoints are layout-identical."""
+
+    use_running_average: bool = False
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    axis: int = -1
+
+    @nn.compact
+    def __call__(self, x):
+        ax = self.axis % x.ndim
+        feat = x.shape[ax]
+        reduce_axes = tuple(i for i in range(x.ndim) if i != ax)
+        shape = [1] * x.ndim
+        shape[ax] = feat
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((feat,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((feat,), jnp.float32))
+        scale = self.param("scale", nn.initializers.ones, (feat,))
+        bias = self.param("bias", nn.initializers.zeros, (feat,))
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            mean = jnp.mean(x, axis=reduce_axes)
+            var = jnp.mean(jnp.square(x - mean.reshape(shape)),
+                           axis=reduce_axes)
+            if not self.is_initializing():
+                n = x.size // feat
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1.0 - m) * mean
+                ra_var.value = m * ra_var.value + \
+                    (1.0 - m) * var * (n / max(n - 1, 1))
+        y = (x - mean.reshape(shape)) * jax.lax.rsqrt(
+            var.reshape(shape) + self.epsilon)
+        return y * scale.reshape(shape) + bias.reshape(shape)
 
 
 def pad_hip(out15: jnp.ndarray) -> jnp.ndarray:
@@ -47,11 +96,11 @@ class _LinearStage(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool):
         y = nn.Dense(self.dim, kernel_init=kaiming)(x)
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.9)(y)
+        y = BatchNorm(use_running_average=not train, momentum=0.9)(y)
         y = nn.relu(y)
         y = nn.Dropout(self.dropout, deterministic=not train)(y)
         y = nn.Dense(self.dim, kernel_init=kaiming)(y)
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.9)(y)
+        y = BatchNorm(use_running_average=not train, momentum=0.9)(y)
         y = nn.relu(y)
         y = nn.Dropout(self.dropout, deterministic=not train)(y)
         return x + y
@@ -68,7 +117,7 @@ class LinearModel(nn.Module):
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         x = x.reshape((x.shape[0], 32))
         y = nn.Dense(self.linear_size, kernel_init=kaiming)(x)
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.9)(y)
+        y = BatchNorm(use_running_average=not train, momentum=0.9)(y)
         y = nn.relu(y)
         y = nn.Dropout(self.dropout, deterministic=not train)(y)
         for _ in range(self.num_stage):
@@ -137,7 +186,7 @@ class _GraphConvBlock(nn.Module):
     def __call__(self, x, train: bool):
         x = SemGraphConv(self.out_dim, self.adj)(x)
         # BN over channels, statistics pooled across batch and joints
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        x = BatchNorm(use_running_average=not train, momentum=0.9,
                          axis=-1)(x)
         if self.dropout:
             # reference applies dropout(relu(x)) then relu again
@@ -210,7 +259,7 @@ class TemporalPoseNet(nn.Module):
         x = nn.Conv(self.channels, (w0,), strides=(w0,) if self.strided else (1,),
                     padding="VALID", use_bias=False, kernel_init=kaiming,
                     name="expand_conv")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        x = BatchNorm(use_running_average=not train, momentum=0.9,
                          name="expand_bn")(x)
         x = nn.Dropout(self.dropout, deterministic=not train)(nn.relu(x))
 
@@ -226,12 +275,12 @@ class TemporalPoseNet(nn.Module):
                         kernel_dilation=(1,) if self.strided else (next_dilation,),
                         padding="VALID", use_bias=False, kernel_init=kaiming,
                         name=f"conv_{i}a")(x)
-            y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+            y = BatchNorm(use_running_average=not train, momentum=0.9,
                              name=f"bn_{i}a")(y)
             y = nn.Dropout(self.dropout, deterministic=not train)(nn.relu(y))
             y2 = nn.Conv(self.channels, (1,), padding="VALID", use_bias=False,
                          kernel_init=kaiming, name=f"conv_{i}b")(y)
-            y2 = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+            y2 = BatchNorm(use_running_average=not train, momentum=0.9,
                               name=f"bn_{i}b")(y2)
             y2 = nn.Dropout(self.dropout, deterministic=not train)(nn.relu(y2))
             x = res + y2

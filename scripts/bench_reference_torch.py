@@ -230,16 +230,172 @@ def bench_gan_iteration(args):
     return ips
 
 
+class MotionCritic(nn.Module):
+    """Reference-style video motion critic: N branch towers (prelude + 3
+    residual blocks each, Fk_discriminator.py:381-512 topology at production
+    width) + a merge tower."""
+
+    def __init__(self, branch_dims, dense=1000):
+        super().__init__()
+        self.towers = nn.ModuleList()
+        for in_dim in branch_dims:
+            self.towers.append(nn.ModuleList([
+                nn.Sequential(nn.Linear(in_dim, dense), nn.ReLU(True)),
+                ResBlock(dense), ResBlock(dense), ResBlock(dense)]))
+        self.merge = nn.Sequential(nn.Linear(dense * len(branch_dims), 100),
+                                   nn.ReLU(True))
+        self.merge_block = ResBlock(100)
+        self.head = nn.Linear(100, 1)
+
+    def forward(self, xs):
+        outs = []
+        for x, (pre, b1, b2, b3) in zip(xs, self.towers):
+            outs.append(b3(b2(b1(pre(x)))))
+        return self.head(self.merge_block(self.merge(torch.cat(outs, -1))))
+
+
+def bench_video_gan_iteration(args):
+    """One reference-style VIDEO-mode WGAN-GP training iteration on torch:
+    per-frame synthesis (trunk -> F*35 head -> sequential-bmm FK over B*F
+    frames), then the 12-critic-update block of video_GAN_fun.py:169-418
+    (single-frame 3D/2D critics + motion critics with flip AND playback
+    duplication), generator update every 5th with all four critics.
+    Batch 512, receptive field 9 (README.md:102)."""
+    torch.manual_seed(0)
+    B, F, dense = args.batch, 9, args.dense
+    trunk = Trunk(dense, out=F * 35)
+    d3d = CriticTower(48, dense)
+    d2d = CriticTower(32, dense)
+    # motion-3D: KCS(F*15) + diff-KCS((F-1)*15) + pos(F*48) + diff((F-1)*48)
+    md3d = MotionCritic([F * 15, (F - 1) * 15, F * 48, (F - 1) * 48], dense)
+    # motion-2D: pose(F*32) + root-trajectory-diff((F-1)*2)
+    md2d = MotionCritic([F * 32, (F - 1) * 2], dense)
+    opts = {m: torch.optim.Adam(m.parameters(), lr=1e-4, betas=(0.5, 0.9))
+            for m in (trunk, d3d, d2d, md3d, md2d)}
+    bone_len = torch.rand(B * F, 15) * 0.4 + 0.2
+    real3d = torch.randn(B * F, 48) * 0.3
+    real2d = torch.randn(B * F, 32) * 0.3
+
+    def synth():
+        z = torch.randn(B, 128)
+        head = trunk(z).reshape(B * F, 35)
+        ang = torch.tanh(head[:, :33]) * 180.0
+        pose32 = fk_reference_style(ang, bone_len, B * F)
+        pose16 = pose32[:, [0, 1, 2, 3, 6, 7, 8, 12, 13, 15, 17, 18, 19,
+                            25, 26, 27]]
+        return pose16.reshape(B * F, 48), pose16[..., :2].reshape(B * F, 32)
+
+    def motion_views(flat, per_frame, n_joint_ch):
+        """frames (B*F, D) -> the critic's branch inputs: whole-clip rows +
+        temporal diffs (+ KCS-width rows for the 3D critic)."""
+        clip = flat.reshape(B, F, per_frame)
+        diff = clip[:, 1:] - clip[:, :-1]
+        if n_joint_ch == 3:   # 3D: kcs(15) proxy rows + pos + diffs
+            kcs = clip[..., :15]
+            dkcs = diff[..., :15]
+            return [kcs.reshape(B, -1), dkcs.reshape(B, -1),
+                    clip.reshape(B, -1), diff.reshape(B, -1)]
+        root = clip[..., :2]
+        droot = root[:, 1:] - root[:, :-1]
+        return [clip.reshape(B, -1), droot.reshape(B, -1)]
+
+    def gp(critic, real, fake, rows):
+        alpha = torch.rand(rows, 1)
+        interp = (alpha * real.reshape(rows, -1)
+                  + (1 - alpha) * fake.reshape(rows, -1)).requires_grad_(True)
+        out = critic(interp)
+        grads = torch.autograd.grad(out.sum(), interp, create_graph=True)[0]
+        return ((grads.norm(2, dim=1) - 1.0) ** 2).mean() * 10.0
+
+    def critic_update(critic, real, fake, rows):
+        opts[critic].zero_grad()
+        loss = critic(fake.detach()).mean() - critic(real).mean() + \
+            gp(critic, real, fake.detach(), rows)
+        loss.backward()
+        opts[critic].step()
+
+    def motion_update(critic, real_flat, fake_flat, ch):
+        per = 48 if ch == 3 else 32
+        opts[critic].zero_grad()
+        loss = critic(motion_views(fake_flat.detach(), per, ch)).mean() - \
+            critic(motion_views(real_flat, per, ch)).mean()
+        # per-clip GP on the concatenated branch inputs (dis_mode='motion')
+        alpha = torch.rand(B, 1)
+        r = torch.cat(motion_views(real_flat, per, ch), -1)
+        f = torch.cat(motion_views(fake_flat.detach(), per, ch), -1)
+        interp = (alpha * r + (1 - alpha) * f).requires_grad_(True)
+        widths = [tw[0][0].in_features for tw in critic.towers]
+        xs, off = [], 0
+        for w in widths:
+            xs.append(interp[:, off:off + w])
+            off += w
+        out = critic(xs)
+        grads = torch.autograd.grad(out.sum(), interp, create_graph=True)[0]
+        loss = loss + ((grads.norm(2, dim=1) - 1.0) ** 2).mean() * 10.0
+        loss.backward()
+        opts[critic].step()
+
+    def flipped(x):
+        y = x.detach().clone()
+        y[:, 0] = -y[:, 0]
+        return y
+
+    def played_back(flat, per):
+        return torch.flip(flat.reshape(B, F, per), dims=[1]).reshape(B * F, per)
+
+    def iteration(it):
+        fake3d, fake2d = synth()
+        # the 12-update critic block (flip x playback x motion)
+        critic_update(d3d, real3d, fake3d, B * F)
+        motion_update(md3d, real3d, fake3d, 3)
+        motion_update(md3d, played_back(real3d, 48), played_back(fake3d, 48), 3)
+        critic_update(d3d, flipped(real3d), flipped(fake3d), B * F)
+        motion_update(md3d, flipped(real3d), flipped(fake3d), 3)
+        motion_update(md3d, played_back(flipped(real3d), 48),
+                      played_back(flipped(fake3d), 48), 3)
+        critic_update(d2d, real2d, fake2d, B * F)
+        motion_update(md2d, real2d, fake2d, 2)
+        motion_update(md2d, played_back(real2d, 32), played_back(fake2d, 32), 2)
+        critic_update(d2d, flipped(real2d), flipped(fake2d), B * F)
+        motion_update(md2d, flipped(real2d), flipped(fake2d), 2)
+        motion_update(md2d, played_back(flipped(real2d), 32),
+                      played_back(flipped(fake2d), 32), 2)
+        if it % 5 == 4:
+            opts[trunk].zero_grad()
+            f3, f2 = synth()
+            g_loss = -(d3d(f3).mean() + 0.2 * d2d(f2).mean()
+                       + md3d(motion_views(f3, 48, 3)).mean()
+                       + md2d(motion_views(f2, 32, 2)).mean())
+            g_loss.backward()
+            opts[trunk].step()
+
+    iteration(0)  # warmup
+    t0 = time.perf_counter()
+    for it in range(args.iters):
+        iteration(it)
+    dt = time.perf_counter() - t0
+    ips = args.iters / dt
+    print(f"reference-style torch VIDEO GAN iteration "
+          f"({'cuda' if torch.cuda.is_available() else 'cpu'}): "
+          f"{ips:.4f} iters/s  ({dt / args.iters * 1000:.0f} ms/iter, "
+          f"batch {B}, F {F})")
+    return ips
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=1024)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--dense", type=int, default=1000)
     ap.add_argument("--mode", default="synthesis",
-                    choices=["synthesis", "gan_iter"])
+                    choices=["synthesis", "gan_iter", "video_gan_iter"])
     args = ap.parse_args()
     if args.mode == "gan_iter":
         return bench_gan_iteration(args)
+    if args.mode == "video_gan_iter":
+        if args.batch == 1024:
+            args.batch = 512  # video-mode production batch (README.md:102)
+        return bench_video_gan_iteration(args)
 
     torch.manual_seed(0)
     trunk = Trunk(args.dense)

@@ -539,17 +539,37 @@ class TestMotionDiscriminatorParity:
         np.testing.assert_allclose(got, expected, atol=1e-4)
 
 
+def _copy_bn_stats(bn, params_leaf, stats_leaf):
+    params_leaf["scale"] = _t2j(bn.weight)
+    params_leaf["bias"] = _t2j(bn.bias)
+    stats_leaf["mean"] = _t2j(bn.running_mean)
+    stats_leaf["var"] = _t2j(bn.running_var)
+
+
+def _transplant_mlp(ref_m, params, stats):
+    """Reference Martinez LinearModel -> flax LinearModel params + BN
+    running stats (models_baseline/mlp/linear_model.py:47)."""
+    _copy_linear(ref_m.w1, params["Dense_0"])
+    _copy_bn_stats(ref_m.batch_norm1, params["BatchNorm_0"],
+                   stats["BatchNorm_0"])
+    for s, stage in enumerate(ref_m.linear_stages):
+        leaf_p = params[f"_LinearStage_{s}"]
+        leaf_s = stats[f"_LinearStage_{s}"]
+        _copy_linear(stage.w1, leaf_p["Dense_0"])
+        _copy_bn_stats(stage.batch_norm1, leaf_p["BatchNorm_0"],
+                       leaf_s["BatchNorm_0"])
+        _copy_linear(stage.w2, leaf_p["Dense_1"])
+        _copy_bn_stats(stage.batch_norm2, leaf_p["BatchNorm_1"],
+                       leaf_s["BatchNorm_1"])
+    _copy_linear(ref_m.w2, params["Dense_1"])
+
+
 class TestPosenetParity:
     """The flagship single-frame posenet (Martinez MLP) vs the reference
     with transplanted weights AND BatchNorm running statistics — pins the
     stage topology, BN placement, and the 15->16 hip zero-pad."""
 
-    @staticmethod
-    def _copy_bn(bn, params_leaf, stats_leaf):
-        params_leaf["scale"] = _t2j(bn.weight)
-        params_leaf["bias"] = _t2j(bn.bias)
-        stats_leaf["mean"] = _t2j(bn.running_mean)
-        stats_leaf["var"] = _t2j(bn.running_var)
+    _copy_bn = staticmethod(_copy_bn_stats)
 
     def test_mlp_forward(self, ref):
         import importlib
@@ -577,20 +597,7 @@ class TestPosenetParity:
                               jnp.asarray(x), train=False)
         params = variables["params"]
         stats = variables["batch_stats"]
-
-        _copy_linear(ref_m.w1, params["Dense_0"])
-        self._copy_bn(ref_m.batch_norm1, params["BatchNorm_0"],
-                      stats["BatchNorm_0"])
-        for s, stage in enumerate(ref_m.linear_stages):
-            leaf_p = params[f"_LinearStage_{s}"]
-            leaf_s = stats[f"_LinearStage_{s}"]
-            _copy_linear(stage.w1, leaf_p["Dense_0"])
-            self._copy_bn(stage.batch_norm1, leaf_p["BatchNorm_0"],
-                          leaf_s["BatchNorm_0"])
-            _copy_linear(stage.w2, leaf_p["Dense_1"])
-            self._copy_bn(stage.batch_norm2, leaf_p["BatchNorm_1"],
-                          leaf_s["BatchNorm_1"])
-        _copy_linear(ref_m.w2, params["Dense_1"])
+        _transplant_mlp(ref_m, params, stats)
 
         with torch.no_grad():
             expected = ref_m(torch.from_numpy(x)).numpy()
@@ -1910,3 +1917,186 @@ class TestVideoUpdateDynamicsParity:
             transplant(ref_model, after)
             assert _tree_max_diff(state.params, after) < 1e-5, name
             assert _tree_max_diff(state.params, p0[name]) > 1e-6, name
+
+
+class TestPosenetUpdateParity:
+    """Update-level parity for the POSENET training loops — the third and
+    last training surface (after the GAN critics and generator above).
+
+    Pins the loss composition (MSE single-frame / mpjpe video), the
+    root-centring of targets, the global-norm grad clip at 1.0 applied
+    EVERY step, torch's unbiased running-variance BN update (the repo's
+    BatchNorm reproduces it; flax's would drift O(1/batch) per step), and
+    the duplicated-update schedule: flip as a SECOND full optimizer step
+    (model_pos_train.py:46-68) and, in video mode, time-reversal playback
+    steps against the UNREVERSED targets plus the flip+playback composition
+    (video_mode_operate.py:578-628).  SGD substituted on both sides and
+    dropout 0 (mask RNG cannot be injected across frameworks; the dropout
+    WIRING is pinned by the forward-parity tests)."""
+
+    LR = 0.02
+    B = 16
+
+    def test_mlp_train_step_sgd(self, ref, monkeypatch):
+        import importlib
+
+        import optax
+
+        from dhaug_tpu.models.posenets import LinearModel
+        from dhaug_tpu.train.posenet import make_posenet_train_step, \
+            root_relative
+        from dhaug_tpu.train.state import make_state
+        B = self.B
+        ref_mlp_mod = importlib.import_module(
+            "models_baseline.mlp.linear_model")
+        torch.manual_seed(40)
+        ref_m = ref_mlp_mod.LinearModel(16 * 2, 15 * 3, linear_size=64,
+                                        num_stage=2, p_dropout=0.0)
+        rng = np.random.RandomState(41)
+        for mod in ref_m.modules():
+            if isinstance(mod, torch.nn.BatchNorm1d):
+                mod.running_mean.copy_(torch.from_numpy(rng.normal(
+                    scale=0.2, size=mod.num_features).astype(np.float32)))
+                mod.running_var.copy_(torch.from_numpy(rng.uniform(
+                    0.5, 1.5, mod.num_features).astype(np.float32)))
+        ref_m.train()
+
+        mine = LinearModel(linear_size=64, num_stage=2, dropout=0.0)
+        x = rng.normal(size=(B, 16, 2)).astype(np.float32) * 0.3
+        # targets scaled up so the gradient norm exceeds 1 and the clip path
+        # is genuinely exercised (asserted below)
+        t3d = rng.normal(size=(B, 16, 3)).astype(np.float32) * 2.0
+        variables = mine.init({"params": jax.random.PRNGKey(0),
+                               "dropout": jax.random.PRNGKey(1)},
+                              jnp.asarray(x), train=False)
+        params, stats = variables["params"], variables["batch_stats"]
+        _transplant_mlp(ref_m, params, stats)
+        p0 = _snapshot(params)
+
+        # --- reference: the exact line sequence of model_pos_train.py:26-68
+        _cpu_as_cuda(monkeypatch)
+        opt = torch.optim.SGD(ref_m.parameters(), lr=self.LR)
+        criterion = torch.nn.MSELoss(reduction="mean")
+        ti = torch.from_numpy(x.copy())
+        tt = torch.from_numpy(t3d.copy())
+        tt = tt - tt[:, :1, :]
+        out = ref_m(ti)
+        opt.zero_grad()
+        loss_ref = criterion(out, tt)
+        loss_ref.backward()
+        gnorm = torch.nn.utils.clip_grad_norm_(ref_m.parameters(), max_norm=1)
+        assert float(gnorm) > 1.0  # the clip actually engages
+        opt.step()
+        # flip: a SECOND full update (:46-68)
+        ti_f = self._torch_flip(ti)
+        tt_f = self._torch_flip(tt)
+        out_f = ref_m(ti_f.view(B, -1))
+        opt.zero_grad()
+        criterion(out_f, tt_f).backward()
+        torch.nn.utils.clip_grad_norm_(ref_m.parameters(), max_norm=1)
+        opt.step()
+
+        # --- mine: the production train step, SGD + the same clip
+        tx = optax.chain(optax.clip_by_global_norm(1.0), optax.sgd(self.LR))
+        step = make_posenet_train_step(mine, tx, "mse")
+        state = make_state(tx, params, stats)
+        y = root_relative(jnp.asarray(t3d))
+        state, loss = step(state, jnp.asarray(x), y, jax.random.PRNGKey(2))
+        assert abs(float(loss) - float(loss_ref.detach())) < 1e-6
+        from dhaug_tpu.ops.augment import flip_pose
+        state, _ = step(state, flip_pose(jnp.asarray(x)), flip_pose(y),
+                        jax.random.PRNGKey(3))
+
+        # parameters AND BatchNorm running stats track after both updates
+        params_after = _snapshot(p0)
+        stats_after = _snapshot(state.batch_stats)
+        _transplant_mlp(ref_m, params_after, stats_after)
+        assert _tree_max_diff(state.params, params_after) < 1e-6
+        assert _tree_max_diff(state.batch_stats, stats_after) < 1e-6
+        assert _tree_max_diff(state.params, p0) > 1e-6
+
+    def test_temporal_train_step_mpjpe_sgd(self, ref, monkeypatch):
+        """Video posenet path: multiFrame strided net, mpjpe criterion
+        (run_Fk_GAN.py:209), playback/flip/flip+playback duplicated updates
+        in the reference's order (video_mode_operate.py:552-628)."""
+        import importlib
+
+        import optax
+
+        from dhaug_tpu.models.posenets import TemporalPoseNet
+        from dhaug_tpu.ops.augment import flip_pose, time_reverse
+        from dhaug_tpu.train.posenet import make_posenet_train_step, \
+            root_relative
+        from dhaug_tpu.train.state import make_state
+        B, F = 8, 9
+        mf = importlib.import_module("models_Fk_GAN.mulit_farme_videopose")
+        torch.manual_seed(42)
+        ref_m = mf.multiFrame_TemporalModelOptimized1f(
+            16, 2, 16, [3, 3], dropout=0.0, channels=64)
+        rng = np.random.RandomState(43)
+        _randomize_bn_stats(ref_m, rng)
+        ref_m.train()
+
+        mine = TemporalPoseNet(filter_widths=(3, 3), out_joints=16,
+                               channels=64, strided=True, dropout=0.0)
+        clip2d = rng.normal(size=(B, F, 16, 2)).astype(np.float32) * 0.3
+        t3d = rng.normal(size=(B, 1, 16, 3)).astype(np.float32) * 2.0
+        variables = mine.init({"params": jax.random.PRNGKey(0),
+                               "dropout": jax.random.PRNGKey(1)},
+                              jnp.asarray(clip2d), train=False)
+        params, stats = variables["params"], variables["batch_stats"]
+        _transplant_temporal(ref_m, params, stats, n_blocks=1)
+        p0 = _snapshot(params)
+
+        _cpu_as_cuda(monkeypatch)
+        opt = torch.optim.SGD(ref_m.parameters(), lr=self.LR)
+        criterion = ref.loss.mpjpe
+        ti = torch.from_numpy(clip2d.copy())
+        tt = torch.from_numpy(t3d.copy())
+        tt = tt - tt[:, :, :1, :]                       # :565
+
+        def ref_update(inp, target):
+            out = ref_m(inp)
+            opt.zero_grad()
+            loss = criterion(out, target)
+            loss.backward()
+            gnorm = torch.nn.utils.clip_grad_norm_(ref_m.parameters(),
+                                                   max_norm=1)
+            opt.step()
+            return float(loss.detach()), float(gnorm)
+
+        loss_ref, gnorm = ref_update(ti, tt)
+        assert gnorm > 1.0
+        ref_update(torch.flip(torch.clone(ti), dims=[1]), tt)   # playback
+        ti_f = torch.clone(ti)
+        ti_f[:, :, :, 0] *= -1
+        lr_idx = [4, 5, 6, 10, 11, 12] + [1, 2, 3, 13, 14, 15]
+        rl_idx = [1, 2, 3, 13, 14, 15] + [4, 5, 6, 10, 11, 12]
+        ti_f[:, :, lr_idx, :] = ti_f[:, :, rl_idx, :]
+        tt_f = torch.clone(tt)
+        tt_f[:, :, :, 0] *= -1
+        tt_f[:, :, lr_idx, :] = tt_f[:, :, rl_idx, :]
+        ref_update(ti_f, tt_f)                                   # flip
+        ref_update(torch.flip(torch.clone(ti_f), dims=[1]), tt_f)  # flip+back
+
+        # --- mine: the production step in train_epoch's order
+        tx = optax.chain(optax.clip_by_global_norm(1.0), optax.sgd(self.LR))
+        step = make_posenet_train_step(mine, tx, "mpjpe")
+        state = make_state(tx, params, stats)
+        xj = jnp.asarray(clip2d)
+        yj = root_relative(jnp.asarray(t3d))
+        state, loss = step(state, xj, yj, jax.random.PRNGKey(2))
+        assert abs(float(loss) - loss_ref) < 5e-6
+        state, _ = step(state, time_reverse(xj), yj, jax.random.PRNGKey(3))
+        xf, yf = flip_pose(xj), flip_pose(yj)
+        state, _ = step(state, xf, yf, jax.random.PRNGKey(4))
+        state, _ = step(state, time_reverse(xf), yf, jax.random.PRNGKey(5))
+
+        params_after = _snapshot(p0)
+        stats_after = _snapshot(state.batch_stats)
+        _transplant_temporal(ref_m, params_after, stats_after, n_blocks=1)
+        assert _tree_max_diff(state.params, params_after) < 1e-5
+        assert _tree_max_diff(state.batch_stats, stats_after) < 1e-5
+        assert _tree_max_diff(state.params, p0) > 1e-6
+
+    _torch_flip = staticmethod(TestUpdateDynamicsParity._torch_flip)
