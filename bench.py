@@ -169,7 +169,8 @@ def bench_gan_training(on_tpu: bool, control_pps: float = 0.0):
     import jax.numpy as jnp
     import numpy as np
 
-    from dhaug_tpu.gan.wgan import GanHyper, camera_bank, make_single_frame_steps
+    from dhaug_tpu.gan.wgan import (GanHyper, camera_bank,
+                                    make_single_frame_steps, tiled_cam16)
     from dhaug_tpu.models.discriminators import (Fk2DDiscriminator,
                                                  Fk3DDiscriminator)
     from dhaug_tpu.models.generator import FkGeneratorNet, GeneratorConfig
@@ -196,10 +197,7 @@ def bench_gan_training(on_tpu: bool, control_pps: float = 0.0):
     rng = np.random.default_rng(0)
     N = GAN_SCAN * B
     dev3d = jnp.asarray(rng.normal(size=(N, 16, 3)).astype(np.float32) * 0.3)
-    devcam = jnp.asarray(np.concatenate(
-        [np.tile(np.asarray(intrs[0])[None], (N, 1)),
-         np.tile(np.asarray(quats[0])[None], (N, 1)),
-         np.tile(np.asarray(trans[0])[None], (N, 1))], axis=1))
+    devcam = tiled_cam16(intrs[0], quats[0], trans[0], N)
     devt2d = jnp.asarray(rng.normal(size=(N, 16, 2)).astype(np.float32) * 0.3)
     idx = jnp.asarray(np.arange(N).reshape(GAN_SCAN, B))
 

@@ -77,6 +77,15 @@ def camera_bank(train_subjects) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
             jnp.asarray(np.stack(intrs), jnp.float32))
 
 
+def tiled_cam16(intr, quat, trans, n: int) -> jnp.ndarray:
+    """(n, 16) camera records — intrinsic(9) | quat(4) | t(3), one camera
+    tiled n times: the ``cam_param16`` layout critics_step expects.  Used by
+    the benchmarks/dryrun/tests that stage a fixed-camera batch."""
+    rec = np.concatenate([np.asarray(intr), np.asarray(quat),
+                          np.asarray(trans)]).astype(np.float32)
+    return jnp.asarray(np.broadcast_to(rec[None], (n, 16)))
+
+
 def discriminator_accuracy(prediction, label) -> float:
     """Fraction of critic outputs within 0.5 of the label — the reference's
     tensorboard accuracy probe (utils/gan_utils.py:141-155)."""

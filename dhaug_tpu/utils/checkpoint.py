@@ -33,19 +33,31 @@ def fetch_tree(tree: Any) -> Any:
     _PACK_MAX_BYTES = 4 << 20
     leaves, treedef = jax.tree.flatten(tree)
     out = list(leaves)
-    by_dtype: dict = {}
+    by_group: dict = {}
     for i, x in enumerate(leaves):
         if isinstance(x, jax.Array):
             if x.nbytes > _PACK_MAX_BYTES:
                 out[i] = np.asarray(x)               # large: direct stream
             else:
-                by_dtype.setdefault(jnp.dtype(x.dtype), []).append(i)
+                # group by (dtype, device placement): concatenating leaves
+                # committed to different devices/shardings is an error, so
+                # each distinct placement packs separately (uncommitted
+                # arrays share the default-device group)
+                ids = tuple(sorted(d.id for d in x.sharding.device_set)) \
+                    if getattr(x, "committed", True) else ("uncommitted",)
+                by_group.setdefault((jnp.dtype(x.dtype), ids), []).append(i)
         elif isinstance(x, np.ndarray):
             out[i] = np.asarray(x)
-    for dt, idxs in by_dtype.items():
-        flat = jnp.concatenate([leaves[i].ravel() for i in idxs]) \
-            if len(idxs) > 1 else leaves[idxs[0]].ravel()
-        host = np.asarray(flat)                      # one tunnel round trip
+    for _, idxs in by_group.items():
+        try:
+            flat = jnp.concatenate([leaves[i].ravel() for i in idxs]) \
+                if len(idxs) > 1 else leaves[idxs[0]].ravel()
+            host = np.asarray(flat)                  # one tunnel round trip
+        except ValueError:
+            # placement mix the grouping didn't anticipate: per-leaf fetch
+            for i in idxs:
+                out[i] = np.asarray(leaves[i])
+            continue
         off = 0
         for i in idxs:
             n = int(np.prod(leaves[i].shape)) if leaves[i].shape else 1

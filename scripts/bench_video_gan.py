@@ -30,7 +30,7 @@ def main():
     import numpy as np
 
     from dhaug_tpu.gan.video import build_video_gan
-    from dhaug_tpu.gan.wgan import camera_bank
+    from dhaug_tpu.gan.wgan import camera_bank, tiled_cam16
     from dhaug_tpu.train.config import parse_aug_args
 
     B, F, N_BATCHES = 512, 9, 20
@@ -47,11 +47,7 @@ def main():
     big2d = jnp.asarray(rng.normal(size=(T, 16, 2)).astype(np.float32) * 0.3)
     q, t, intr = camera_bank(["S1"])
     n_chunks = N_BATCHES * B
-    cams = jnp.asarray(np.concatenate([
-        np.broadcast_to(np.asarray(intr[0])[None], (n_chunks, 9)),
-        np.broadcast_to(np.asarray(q[0])[None], (n_chunks, 4)),
-        np.broadcast_to(np.asarray(t[0])[None], (n_chunks, 3))],
-        axis=1).astype(np.float32))
+    cams = tiled_cam16(intr[0], q[0], t[0], n_chunks)
     starts = rng.integers(0, T - F, size=(2, N_BATCHES, B))
     start3d = jnp.asarray(starts[0], jnp.int32)
     start2d = jnp.asarray(starts[1], jnp.int32)

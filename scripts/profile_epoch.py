@@ -88,8 +88,7 @@ def main():
             bundle.train_gt2d3d, templates, np_rng))
         target_2d = PoseTarget(gt2d3d.poses_2d)
         target_3d = PoseTarget(gt2d3d.poses_3d)
-        nonlocal_key = jax.random.split(key)
-        key2 = nonlocal_key[1]
+        key, key2, key3, key4 = jax.random.split(key, 4)
         res = timed("gan epoch", lambda: run_gan_epoch(
             gan, gt2d3d, target_2d, target_3d, args.batch_size, np_rng,
             key2, summary))
@@ -100,7 +99,7 @@ def main():
             def fake_pass():
                 s, l = train_epoch_scan(pos_epoch_fn, pos_state_box[0],
                                         fake_ds.poses_2d, fake_ds.poses_3d,
-                                        np_rng, args.batch_size, key2)
+                                        np_rng, args.batch_size, key3)
                 pos_state_box[0] = s
                 return l
             timed("posenet fake pass", fake_pass)
@@ -110,7 +109,7 @@ def main():
             def real_pass():
                 s, l = train_epoch_scan(pos_epoch_fn, pos_state_box[0],
                                         dev_real_2d, dev_real_3d,
-                                        np_rng, args.batch_size, key2)
+                                        np_rng, args.batch_size, key4)
                 pos_state_box[0] = s
                 return l
             timed("posenet real pass", real_pass)

@@ -123,11 +123,8 @@ def test_entry_compiles():
 
 def _tiled_cam16(N, quats, trans, intrs):
     """(N, 16) camera records tiling the first bank camera (intr|quat|t)."""
-    return jnp.asarray(np.concatenate(
-        [np.tile(np.asarray(intrs[0])[None], (N, 1)),
-         np.tile(np.asarray(quats[0])[None], (N, 1)),
-         np.tile(np.asarray(trans[0])[None], (N, 1))],
-        axis=1).astype(np.float32))
+    from dhaug_tpu.gan.wgan import tiled_cam16
+    return tiled_cam16(intrs[0], quats[0], trans[0], N)
 
 
 def _tiny_gan_steps(flip=True, mesh=None, pallas=False):
@@ -405,6 +402,26 @@ def test_fetch_tree_on_mesh_placed_state():
     np.testing.assert_array_equal(out["replicated"], a)
     np.testing.assert_array_equal(out["sharded"], b)
     assert int(out["scalar"]) == 3
+
+
+def test_fetch_tree_mixed_device_placements():
+    """Leaves of the SAME dtype committed to different devices/meshes must
+    not be concatenated together (jnp.concatenate raises on incompatible
+    placements) — the packer groups by placement instead of crashing."""
+    from dhaug_tpu.utils.checkpoint import fetch_tree
+
+    mesh = make_mesh(8)
+    rng = np.random.default_rng(4)
+    a = rng.normal(size=(12, 3)).astype(np.float32)
+    b = rng.normal(size=(7,)).astype(np.float32)
+    c = rng.normal(size=(5,)).astype(np.float32)
+    tree = {"on_mesh": replicate(mesh, jnp.asarray(a)),
+            "on_dev3": jax.device_put(jnp.asarray(b), jax.devices()[3]),
+            "default": jnp.asarray(c)}
+    out = fetch_tree(tree)
+    np.testing.assert_array_equal(out["on_mesh"], a)
+    np.testing.assert_array_equal(out["on_dev3"], b)
+    np.testing.assert_array_equal(out["default"], c)
 
 
 def test_sharded_gan_step_matches_unsharded():
