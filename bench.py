@@ -40,7 +40,12 @@ TORCH_REFERENCE_POSES_PER_SEC = 7167.7
 TORCH_REFERENCE_GAN_ITERS_PER_SEC = 0.107   # --mode gan_iter, batch 1024
 
 BATCH = 65536      # bulk-synthesis batch per scan step
-SCAN_STEPS = 8     # batches per dispatch (amortizes the ~30 ms sync latency)
+# Batches per dispatch.  The ~30-40 ms synchronous tunnel round trip is a
+# fixed per-dispatch cost; production bulk synthesis amortizes it over far
+# longer scans, and at 8 steps it still ate ~3.8 ms/batch (measured round 3:
+# 6.2 M poses/s at 8 steps vs 9.8 M at 64, where per-batch device work has
+# converged to ~6.7 ms).
+SCAN_STEPS = 64
 DENSE = 1000
 ITERS = 5
 
@@ -48,12 +53,12 @@ GAN_BATCH = 1024   # production batch (README.md:99)
 GAN_SCAN = 40      # GAN iterations per dispatch (production epochs scan 75+)
 GAN_ITERS = 3      # timed dispatches
 
-# Same-machine round-2 TPU measurement of the synthesis line, used as the
+# Same-machine round-3 TPU measurement of the synthesis line, used as the
 # in-process control: the ratio of this run's synthesis throughput to this
 # nominal distinguishes tunnel-load noise (both lines move together) from a
 # real GAN-path regression (only the GAN line moves).  CLAUDE.md documents
 # the +-25-30% run-to-run tunnel variance this guards against.
-NOMINAL_TPU_POSES_PER_SEC = 6.4e6
+NOMINAL_TPU_POSES_PER_SEC = 9.8e6
 
 # Peak MXU throughput for MFU estimation.  TPU v5e: 197 TFLOP/s bf16-mult /
 # fp32-accumulate (the default precision the trunk matmuls run at).

@@ -85,7 +85,7 @@ def test_bench_json_contract(workdir):
     src = open(os.path.join(REPO, "bench.py")).read()
     # shrink the workload for CPU
     src = src.replace("BATCH = 65536", "BATCH = 256")
-    src = src.replace("SCAN_STEPS = 8", "SCAN_STEPS = 2")
+    src = src.replace("SCAN_STEPS = 64", "SCAN_STEPS = 2")
     src = src.replace("DENSE = 1000", "DENSE = 64")
     src = src.replace("ITERS = 5", "ITERS = 2")
     src = src.replace("GAN_BATCH = 1024", "GAN_BATCH = 32")
