@@ -50,7 +50,10 @@ DENSE = 1000
 ITERS = 5
 
 GAN_BATCH = 1024   # production batch (README.md:99)
-GAN_SCAN = 40      # GAN iterations per dispatch (production epochs scan 75+)
+GAN_SCAN = 80      # GAN iterations per dispatch — matches the production
+                   # epoch scan length (80k-frame fixture / batch 1024 = 78
+                   # iterations; at 40 the ~35 ms round trip still cost
+                   # ~0.5 ms/iter)
 GAN_ITERS = 3      # timed dispatches
 
 # Same-machine round-3 TPU measurement of the synthesis line, used as the

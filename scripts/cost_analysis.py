@@ -130,7 +130,7 @@ def report(name, crit, gen, ms_per_iter):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--ms_single", type=float, default=10.0,
+    ap.add_argument("--ms_single", type=float, default=9.0,
                     help="measured single-frame ms/iter (bench.py)")
     ap.add_argument("--ms_video", type=float, default=63.7,
                     help="measured video ms/iter (scripts/bench_video_gan.py)")

@@ -89,7 +89,7 @@ def test_bench_json_contract(workdir):
     src = src.replace("DENSE = 1000", "DENSE = 64")
     src = src.replace("ITERS = 5", "ITERS = 2")
     src = src.replace("GAN_BATCH = 1024", "GAN_BATCH = 32")
-    src = src.replace("GAN_SCAN = 40", "GAN_SCAN = 3")
+    src = src.replace("GAN_SCAN = 80", "GAN_SCAN = 3")
     src = src.replace("GAN_ITERS = 3", "GAN_ITERS = 1")
     src = src.replace("from __future__ import annotations",
                       "from __future__ import annotations\n"
