@@ -33,7 +33,7 @@ def main():
     from dhaug_tpu.gan.wgan import camera_bank, tiled_cam16
     from dhaug_tpu.train.config import parse_aug_args
 
-    B, F, N_BATCHES = 512, 9, 20
+    B, F, N_BATCHES = 512, 9, 40
     args = parse_aug_args(["--batch_size", str(B),
                            "--single_or_multi_train_mode", "multi",
                            "--architecture", "3,3",
