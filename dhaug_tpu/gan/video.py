@@ -65,10 +65,14 @@ class VideoSteps(NamedTuple):
 
 
 def build_video_gan(args, train_subjects, video_frames: int, key,
-                    mesh=None) -> VideoGanBundle:
+                    mesh=None, use_pallas_fk=None) -> VideoGanBundle:
     """``mesh`` as in single_frame.build_gan: the Pallas critic-phase
     synthesis is shard_mapped over the data mesh instead of silently
-    downgrading to the XLA FK path in multi-chip training."""
+    downgrading to the XLA FK path in multi-chip training.
+
+    ``use_pallas_fk`` overrides the backend auto-detection (None) — pass
+    False to pin the XLA FK lowering, e.g. for backend-independent cost
+    analysis of the critic-phase program."""
     gen_cfg = GeneratorConfig(
         dense_dim=args.Gen_DenseDim, output_dim=args.GAN_OUTPUT_DIM,
         use_pre_angle=args.GAN_whether_use_preAngle,
@@ -76,13 +80,14 @@ def build_video_gan(args, train_subjects, video_frames: int, key,
         bf16_trunk=bool(getattr(args, "bf16_trunk", False)))
     from dhaug_tpu.ops.fk_pallas import fk_pallas_supported
     on_tpu = fk_pallas_supported()
+    pallas = on_tpu if use_pallas_fk is None else bool(use_pallas_fk)
     hyper = GanHyper(
         lambda_gp=float(args.GAN_LAMBDA), w3d=args.GAN_3d_loss_weight,
         w2d=args.GAN_2d_loss_weight,
         w3d_motion=args.GAN_3d_motion_loss_weight,
         w2d_motion=args.GAN_2d_motion_loss_weight,
         flip=args.flip_GAN_model_input, bone_len_scaler=args.bone_len_scaler,
-        use_pallas_fk=on_tpu,
+        use_pallas_fk=pallas,
         pallas_interpret=not on_tpu)
 
     gen = FkGeneratorNet(gen_cfg)

@@ -118,12 +118,15 @@ def main():
             pos_state = pos_state_box[0]
 
         # the per-epoch best-checkpoint save fetches the full train state
+        # through the same packed transfer the production save uses
+        # (utils/checkpoint.fetch_tree — a per-leaf np.asarray here would
+        # misattribute hundreds of ~40 ms tunnel round trips to this phase)
+        from dhaug_tpu.utils.checkpoint import fetch_tree
         def ckpt_fetch():
-            return jax.tree.map(np.asarray,
-                                {"pos": pos_state.params,
-                                 "gen": gan.gen_state.params,
-                                 "d3d": gan.d3d_state.params,
-                                 "d2d": gan.d2d_state.params})
+            return fetch_tree({"pos": pos_state.params,
+                               "gen": gan.gen_state.params,
+                               "d3d": gan.d3d_state.params,
+                               "d2d": gan.d2d_state.params})
         timed("ckpt state fetch", ckpt_fetch)
 
 
