@@ -45,69 +45,6 @@ def test_sharded_matmul_equals_single_device():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5)
 
 
-def test_full_train_step_sharded():
-    """The fused critics+generator+posenet mega-step (parallel/sharded.py)
-    executes on the dp x tp mesh with finite metrics — kept covered now that
-    dryrun_multichip drives the production epoch programs instead."""
-    from dhaug_tpu.gan.wgan import GanHyper, camera_bank
-    from dhaug_tpu.models.discriminators import (Fk2DDiscriminator,
-                                                 Fk3DDiscriminator)
-    from dhaug_tpu.models.generator import FkGeneratorNet, GeneratorConfig
-    from dhaug_tpu.models.posenets import LinearModel
-    from dhaug_tpu.parallel.sharded import make_full_train_step
-    from dhaug_tpu.train.state import adam_gan, adam_posenet, make_state
-
-    gen_cfg = GeneratorConfig(dense_dim=32)
-    gen = FkGeneratorNet(gen_cfg)
-    d3d = Fk3DDiscriminator(dense_dim=32)
-    d2d = Fk2DDiscriminator(dense_dim=32)
-    posenet = LinearModel(linear_size=32, num_stage=1, dropout=0.25)
-    gp = gen.init(KEY, jnp.zeros((2, 128)))["params"]
-    p3 = d3d.init(KEY, jnp.zeros((2, 16, 3)))["params"]
-    p2 = d2d.init(KEY, jnp.zeros((2, 16, 2)))["params"]
-    pos_vars = posenet.init({"params": KEY, "dropout": KEY},
-                            jnp.zeros((2, 16, 2)), train=False)
-
-    gen_tx, d3d_tx, d2d_tx = adam_gan(), adam_gan(), adam_gan()
-    pos_tx = adam_posenet(1e-4)
-
-    def posenet_apply(params, batch_stats, inputs_2d, dropout_key):
-        out, mut = posenet.apply(
-            {"params": params, "batch_stats": batch_stats}, inputs_2d,
-            train=True, rngs={"dropout": dropout_key},
-            mutable=["batch_stats"])
-        return out, mut["batch_stats"]
-
-    quats, trans, intrs = camera_bank(["S1"])
-    bundle = make_full_train_step(
-        lambda p, x: gen.apply({"params": p}, x),
-        lambda p, x: d3d.apply({"params": p}, x),
-        lambda p, x: d2d.apply({"params": p}, x),
-        posenet_apply, gen_tx, d3d_tx, d2d_tx, pos_tx,
-        gen_cfg, GanHyper(flip=False), quats, trans, intrs)
-
-    mesh = make_mesh(8, model_axis=2)
-    B = 16
-    rng = np.random.default_rng(0)
-    real = jnp.asarray(rng.normal(size=(B, 16, 3)).astype(np.float32) * 0.3)
-    cam16 = jnp.concatenate([
-        jnp.broadcast_to(intrs[0], (B, 9)),
-        jnp.broadcast_to(quats[0], (B, 4)),
-        jnp.broadcast_to(trans[0], (B, 3))], axis=1)
-    t2d = jnp.asarray(rng.normal(size=(B, 16, 2)).astype(np.float32) * 0.3)
-    with mesh:
-        gen_s = make_state(gen_tx, replicate(mesh, gp))
-        d3_s = make_state(d3d_tx, replicate(mesh, p3))
-        d2_s = make_state(d2d_tx, replicate(mesh, p2))
-        pos_s = make_state(pos_tx, replicate(mesh, pos_vars["params"]),
-                           replicate(mesh, pos_vars["batch_stats"]))
-        r, c, t = shard_batch(mesh, real, cam16, t2d)
-        out = bundle.train_step(gen_s, d3_s, d2_s, pos_s, r, c, t, KEY)
-    metrics = out[-1]
-    for k in ("3d_wasserstein", "2d_wasserstein", "g_cost", "pos_loss"):
-        assert np.isfinite(float(metrics[k])), k
-
-
 def test_dryrun_multichip_entrypoint():
     import __graft_entry__ as g
     g.dryrun_multichip(8)
