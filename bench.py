@@ -61,7 +61,7 @@ GAN_ITERS = 3      # timed dispatches
 # nominal distinguishes tunnel-load noise (both lines move together) from a
 # real GAN-path regression (only the GAN line moves).  CLAUDE.md documents
 # the +-25-30% run-to-run tunnel variance this guards against.
-NOMINAL_TPU_POSES_PER_SEC = 9.8e6
+NOMINAL_TPU_POSES_PER_SEC = 11.0e6
 
 # Peak MXU throughput for MFU estimation.  TPU v5e: 197 TFLOP/s bf16-mult /
 # fp32-accumulate (the default precision the trunk matmuls run at).
@@ -82,6 +82,7 @@ def main():
     from dhaug_tpu.gan.wgan import camera_bank
     from dhaug_tpu.models.generator import (FkGeneratorNet, GeneratorConfig,
                                             sample_scaler8, synthesize_poses)
+    from dhaug_tpu.models.trunk_pallas import trunk_forward_pallas
     from dhaug_tpu.ops.camera import project_to_2d, world_to_camera_batch
     from dhaug_tpu.ops.fk import CANONICAL_BONE_LEN
 
@@ -96,9 +97,11 @@ def main():
     def one_batch(params, bone_len, key):
         k_n, k_s = jax.random.split(key)
         noise = jax.random.normal(k_n, (BATCH, 128))
-        head = net.apply({"params": params}, noise)
+        # fused Pallas trunk + FK on TPU (inference path; same bf16-multiply
+        # / fp32-accumulate precision as the XLA default); XLA elsewhere
+        head = (trunk_forward_pallas(params, noise) if on_tpu
+                else net.apply({"params": params}, noise))
         scaler = sample_scaler8(k_s, BATCH, "different")
-        # fused Pallas FK on TPU (inference path); XLA path elsewhere
         pose16 = synthesize_poses(head, bone_len, scaler, cfg,
                                   use_pallas=on_tpu)
         cam3d = world_to_camera_batch(pose16, quats[:1], trans[:1])

@@ -68,8 +68,17 @@ def main(argv=None):
     n_dev = len(jax.devices())
     mesh = make_mesh(n_dev, model_axis=1)
     B = args.batch - (args.batch % max(n_dev, 1)) or n_dev
-    synthesize = make_sharded_synthesizer(
-        lambda p, x: net.apply({"params": p}, x), cfg)
+    from dhaug_tpu.ops.fk_pallas import fk_pallas_supported
+    if fk_pallas_supported() and n_dev == 1:
+        # fused Pallas trunk (models/trunk_pallas.py): same bf16-multiply /
+        # fp32-accumulate precision as XLA's default matmul, ~14% faster.
+        # Under a multi-device mesh the pallas_call would need a shard_map
+        # (GSPMD can't partition it), so the XLA trunk serves that case.
+        from dhaug_tpu.models.trunk_pallas import trunk_forward_pallas
+        gen_apply = lambda p, x: trunk_forward_pallas(p, x)
+    else:
+        gen_apply = lambda p, x: net.apply({"params": p}, x)
+    synthesize = make_sharded_synthesizer(gen_apply, cfg)
 
     quats, trans, intrs = camera_bank(["S1", "S5", "S6", "S7", "S8"])
 

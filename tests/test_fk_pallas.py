@@ -57,3 +57,44 @@ def test_canonical_pose():
     ref = fk_world_pose(FKInputs(angles, bl, jnp.zeros((B, 3)),
                                  jnp.zeros((B, 3))), 16)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+
+class TestTrunkPallas:
+    """Fused generator-trunk kernel (models/trunk_pallas.py, inference
+    paths): interpret mode must match the bf16-multiply oracle bitwise and
+    track the fp32 XLA trunk to bf16 rounding."""
+
+    def _setup(self, dense=64, B=100):
+        from dhaug_tpu.models.generator import FkGeneratorNet, GeneratorConfig
+        cfg = GeneratorConfig(dense_dim=dense)
+        net = FkGeneratorNet(cfg)
+        params = net.init(jax.random.PRNGKey(0), jnp.zeros((2, 128)))["params"]
+        noise = jax.random.normal(jax.random.PRNGKey(1), (B, 128))
+        return net, params, noise
+
+    def test_matches_bf16_oracle_bitwise(self):
+        from dhaug_tpu.models.trunk_pallas import (trunk_forward_pallas,
+                                                   trunk_reference_bf16)
+        net, params, noise = self._setup()
+        out = trunk_forward_pallas(params, noise, interpret=True)
+        ref = trunk_reference_bf16(params, noise)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+    def test_tracks_fp32_trunk(self):
+        from dhaug_tpu.models.trunk_pallas import trunk_forward_pallas
+        net, params, noise = self._setup(dense=128, B=300)
+        out = trunk_forward_pallas(params, noise, interpret=True)
+        ref = net.apply({"params": params}, noise)
+        # bf16 multiplies (XLA's own default on TPU) vs the CPU fp32
+        # reference: deviation bounded by bf16 rounding through the chain
+        scale = float(jnp.std(ref))
+        assert float(jnp.max(jnp.abs(out - ref))) < 0.05 * scale
+
+    def test_batch_padding(self):
+        from dhaug_tpu.models.trunk_pallas import (trunk_forward_pallas,
+                                                   trunk_reference_bf16)
+        net, params, noise = self._setup(B=7)   # far below the tile size
+        out = trunk_forward_pallas(params, noise, interpret=True)
+        assert out.shape == (7, 35)
+        ref = trunk_reference_bf16(params, noise)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
