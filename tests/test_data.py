@@ -105,6 +105,38 @@ class TestFetch:
         assert cams[0].ndim == 1 and cams[0].shape[0] == 16
 
 
+class TestSubjectSubsetFlags:
+    """--s1only / --s1s5only ablation flags (function_aug/config.py:40,73;
+    consumed at utils/data_utils.py:84-88 in the reference)."""
+
+    def test_train_subject_list(self):
+        from types import SimpleNamespace
+
+        from dhaug_tpu.train.data_prep import train_subject_list
+        assert train_subject_list(
+            SimpleNamespace(s1only=True, s1s5only=False)) == ["S1"]
+        assert train_subject_list(
+            SimpleNamespace(s1only=False, s1s5only=True)) == ["S1", "S5"]
+        assert train_subject_list(
+            SimpleNamespace(s1only=False, s1s5only=False)) == \
+            ["S1", "S5", "S6", "S7", "S8"]
+
+    def test_prepare_data_s1only(self, data_root):
+        from types import SimpleNamespace
+
+        from dhaug_tpu.train.data_prep import prepare_data
+        args = SimpleNamespace(
+            data_root=data_root, dataset="h36m", keypoints="gt", actions="*",
+            s1only=True, s1s5only=False, downsample=1, synthetic_data=False,
+            random_seed=0)
+        bundle = prepare_data(args)
+        assert bundle.subjects_train == ["S1"]
+        # exactly S1's sequences fetched: 15 actions x 4 cameras
+        n_seq_all = len(bundle.poses_train)
+        args.s1only = False
+        assert len(prepare_data(args).poses_train) == 5 * n_seq_all
+
+
 class TestSynthetic:
     def test_fixture_formats(self, data_root):
         d3 = np.load(os.path.join(data_root, "data", "data_3d_h36m.npz"),
