@@ -16,7 +16,8 @@ regardless of work, so the bench amortizes it the way bulk synthesis does:
 SCAN_STEPS large batches per dispatch via lax.scan.  The reported value is
 the median over ITERS dispatches.
 
-Prints TWO JSON lines (the driver records the LAST):
+Prints JSON lines, one metric each (the driver records the LAST):
+  {"metric": "video GAN training iterations/s ...", ...}   (TPU only)
   {"metric": "GAN training iterations/s ...", "value": N, "unit": "iters/s",
    "vs_baseline": N, "mfu_est": F, "ms_per_iter": T}
   {"metric": "augmented poses/sec/chip ...", "value": N, "unit": "poses/s",
@@ -38,6 +39,7 @@ import time
 # Same-machine torch-CPU reference measurements (scripts/bench_reference_torch.py).
 TORCH_REFERENCE_POSES_PER_SEC = 7167.7
 TORCH_REFERENCE_GAN_ITERS_PER_SEC = 0.107   # --mode gan_iter, batch 1024
+TORCH_REFERENCE_VIDEO_GAN_ITERS_PER_SEC = 0.0222  # --mode video_gan_iter
 
 BATCH = 65536      # bulk-synthesis batch per scan step
 # Batches per dispatch.  The ~30-40 ms synchronous tunnel round trip is a
@@ -130,6 +132,24 @@ def main():
     per_call = statistics.median(times)
 
     pps = BATCH * SCAN_STEPS / per_call
+    if on_tpu:
+        # video-mode line (TPU only: the 5-model program is precompiled in
+        # the persistent cache there; a cold CPU compile would take minutes
+        # and the CPU contract test covers the two lines below)
+        import sys
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "scripts"))
+        from bench_video_gan import measure as measure_video
+        v = measure_video(verbose=False)
+        print(json.dumps({
+            "metric": "video GAN training iterations/s (5-model 12-update "
+                      "block, flip+playback+motion, batch 512, rf 9)",
+            "value": round(v["iters_per_sec"], 2),
+            "unit": "iters/s",
+            "vs_baseline": round(v["iters_per_sec"]
+                                 / TORCH_REFERENCE_VIDEO_GAN_ITERS_PER_SEC, 2),
+            "ms_per_iter": round(v["ms_per_iter"], 3),
+        }))
     gan = bench_gan_training(on_tpu, control_pps=pps)
     print(json.dumps(gan))
     result = {

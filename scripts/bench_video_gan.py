@@ -20,7 +20,11 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main():
+def measure(n_batches: int = 40, reps: int = 3, verbose: bool = True) -> dict:
+    """Measure the production video epoch program's per-iteration cost and
+    return {"iters_per_sec", "ms_per_iter"} (best of ``reps`` dispatches of
+    ``n_batches`` iterations each).  Also imported by bench.py for its
+    video JSON line."""
     import jax
     jax.config.update("jax_compilation_cache_dir",
                       os.environ.get("JAX_COMPILATION_CACHE_DIR",
@@ -33,7 +37,8 @@ def main():
     from dhaug_tpu.gan.wgan import camera_bank, tiled_cam16
     from dhaug_tpu.train.config import parse_aug_args
 
-    B, F, N_BATCHES = 512, 9, 40
+    say = print if verbose else (lambda *a, **k: None)
+    B, F = 512, 9
     args = parse_aug_args(["--batch_size", str(B),
                            "--single_or_multi_train_mode", "multi",
                            "--architecture", "3,3",
@@ -42,17 +47,17 @@ def main():
     gan = build_video_gan(args, subjects, F, jax.random.PRNGKey(0))
 
     rng = np.random.default_rng(0)
-    T = N_BATCHES * B + F            # enough frames for distinct windows
+    T = n_batches * B + F            # enough frames for distinct windows
     big3d = jnp.asarray(rng.normal(size=(T, 16, 3)).astype(np.float32) * 0.3)
     big2d = jnp.asarray(rng.normal(size=(T, 16, 2)).astype(np.float32) * 0.3)
     q, t, intr = camera_bank(["S1"])
-    n_chunks = N_BATCHES * B
+    n_chunks = n_batches * B
     cams = tiled_cam16(intr[0], q[0], t[0], n_chunks)
-    starts = rng.integers(0, T - F, size=(2, N_BATCHES, B))
+    starts = rng.integers(0, T - F, size=(2, n_batches, B))
     start3d = jnp.asarray(starts[0], jnp.int32)
     start2d = jnp.asarray(starts[1], jnp.int32)
     cam_sel = jnp.asarray(
-        rng.integers(0, n_chunks, size=(N_BATCHES, B)), jnp.int32)
+        rng.integers(0, n_chunks, size=(n_batches, B)), jnp.int32)
 
     def run(states, key, iter0):
         out = gan.steps.epoch_step(*states, big3d, big2d, cams,
@@ -63,29 +68,35 @@ def main():
 
     states = (gan.gen_state, gan.d3d_state, gan.d2d_state,
               gan.md3d_state, gan.md2d_state)
-    print(f"compiling + warmup (B={B}, F={F}, {N_BATCHES} iters/dispatch)...",
-          flush=True)
+    say(f"compiling + warmup (B={B}, F={F}, {n_batches} iters/dispatch)...",
+        flush=True)
     t0 = time.perf_counter()
     states, outs = run(states, jax.random.PRNGKey(1), 0)
     w = float(outs[3]["Fk_d3d_Wasserstein_D"][-1])   # fence
-    print(f"  first dispatch {time.perf_counter() - t0:.1f} s "
-          f"(w3d={w:.4f})", flush=True)
+    say(f"  first dispatch {time.perf_counter() - t0:.1f} s "
+        f"(w3d={w:.4f})", flush=True)
 
     times = []
-    for rep in range(3):
+    for rep in range(reps):
         t0 = time.perf_counter()
         states, outs = run(states, jax.random.PRNGKey(2 + rep),
-                           (rep + 1) * N_BATCHES)
+                           (rep + 1) * n_batches)
         w = float(outs[3]["Fk_d3d_Wasserstein_D"][-1])   # fence
         dt = time.perf_counter() - t0
         times.append(dt)
-        print(f"  rep {rep}: {dt * 1000:.0f} ms for {N_BATCHES} iters -> "
-              f"{N_BATCHES / dt:.2f} iters/s ({dt / N_BATCHES * 1000:.1f} "
-              f"ms/iter), w3d={w:.4f}", flush=True)
+        say(f"  rep {rep}: {dt * 1000:.0f} ms for {n_batches} iters -> "
+            f"{n_batches / dt:.2f} iters/s ({dt / n_batches * 1000:.1f} "
+            f"ms/iter), w3d={w:.4f}", flush=True)
 
     best = min(times)
-    print(f"video GAN training iteration (B={B}, F={F}, flip+playback+motion"
-          f"): {N_BATCHES / best:.2f} iters/s ({best / N_BATCHES * 1000:.1f} "
+    return {"iters_per_sec": n_batches / best,
+            "ms_per_iter": best / n_batches * 1000.0}
+
+
+def main():
+    r = measure()
+    print(f"video GAN training iteration (B=512, F=9, flip+playback+motion"
+          f"): {r['iters_per_sec']:.2f} iters/s ({r['ms_per_iter']:.1f} "
           f"ms/iter)")
 
 
