@@ -165,7 +165,7 @@ def make_video_steps(gen_apply, d3d_apply, d2d_apply, md3d_apply, md2d_apply,
         B = bone_len.shape[0]
         k_n, k_s = jax.random.split(key)
         if noise is None:
-            noise = jax.random.normal(k_n, (B, 128))
+            noise = jax.random.normal(k_n, (B, hyper.noise_dim))
         head = gen_apply(gen_params, noise)
         if scaler8 is None:
             scaler8 = sample_scaler8(k_s, B, hyper.bone_len_scaler)

@@ -37,7 +37,6 @@ def make_posenet(posenet_name: str, *, stages: int = 4, dropout: float = 0.25,
     take (B, T, 16, 2)."""
     if posenet_name == "gcn":
         if skeleton is None:
-            from dhaug_tpu.data.h36m import Human36mDataset  # noqa: F401
             raise ValueError("gcn posenet needs a skeleton")
         adj = adjacency_from_skeleton(skeleton)
         return SemGCN(adj=adj, hid_dim=128, num_layers=stages, dropout=dropout)

@@ -39,19 +39,23 @@ def p_mpjpe_per_sample(predicted: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarr
     X0 = X0 / normX
     Y0 = Y0 / normY
 
-    H = jnp.matmul(jnp.swapaxes(X0, 1, 2), Y0)
+    # fp32-pinned contractions: TPU's default bf16 multiply would perturb
+    # the metre-scale alignment (and the reported P2 mm) by ~1-2 mm
+    # (CLAUDE.md geometry-precision rule)
+    _hi = jax.lax.Precision.HIGHEST
+    H = jnp.matmul(jnp.swapaxes(X0, 1, 2), Y0, precision=_hi)
     U, s, Vt = jnp.linalg.svd(H)
     V = jnp.swapaxes(Vt, 1, 2)
-    R = jnp.matmul(V, jnp.swapaxes(U, 1, 2))
+    R = jnp.matmul(V, jnp.swapaxes(U, 1, 2), precision=_hi)
     sign_detR = jnp.sign(jnp.linalg.det(R))[:, None]
     V = V.at[:, :, -1].multiply(sign_detR)
     s = s.at[:, -1].multiply(sign_detR[:, 0])
-    R = jnp.matmul(V, jnp.swapaxes(U, 1, 2))
+    R = jnp.matmul(V, jnp.swapaxes(U, 1, 2), precision=_hi)
 
     tr = jnp.sum(s, axis=1, keepdims=True)[:, :, None]
     a = tr * normX / normY
-    t = muX - a * jnp.matmul(muY, R)
-    predicted_aligned = a * jnp.matmul(predicted, R) + t
+    t = muX - a * jnp.matmul(muY, R, precision=_hi)
+    predicted_aligned = a * jnp.matmul(predicted, R, precision=_hi) + t
     return jnp.mean(jnp.linalg.norm(predicted_aligned - target, axis=-1), axis=-1)
 
 

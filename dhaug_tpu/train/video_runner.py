@@ -66,25 +66,56 @@ def video_data_preparation(args):
 
 def video_reskin_update(args, bundle, templates, rng):
     """Per-sequence single-template re-skin + re-projection, rebuilding the
-    GAN clip loader (video_mode_operate.py:879-966)."""
+    GAN clip loader (video_mode_operate.py:879-966).
+
+    All sequences run as ONE flattened device computation (the single-frame
+    path's fixed-chunk jitted program, gan/single_frame._reskin_chunk) with a
+    per-frame template row, followed by a single bulk device->host fetch —
+    instead of a per-sequence eager loop with two synchronous round trips per
+    sequence (~40 ms each through this host's TPU tunnel; real H36M has ~600
+    train sequences).  The template draw order (one rng.integers per
+    sequence, then the loader seed) is unchanged, so runs stay
+    reproducible."""
     import jax.numpy as jnp
 
-    from dhaug_tpu.ops.bones import reskin_pose
-    from dhaug_tpu.ops.camera import project_to_2d
+    from dhaug_tpu.gan.single_frame import _RESKIN_CHUNK, _reskin_chunk
 
     rf = _receptive_field(args)
     pad = (rf - 1) // 2
-    new3d, new2d = [], []
-    for seq3d, cam in zip(bundle.poses_train, bundle.cams_train):
-        tmpl = templates[rng.integers(0, templates.shape[0])]
-        p3 = np.asarray(reskin_pose(jnp.asarray(seq3d),
-                                    jnp.asarray(tmpl)[None]))
-        cam9 = np.asarray(cam)[:9][None]
-        p2 = np.asarray(project_to_2d(jnp.asarray(p3),
-                                      jnp.broadcast_to(jnp.asarray(cam9),
-                                                       (p3.shape[0], 9))))
-        new3d.append(p3)
-        new2d.append(p2)
+    lengths = [np.asarray(s).shape[0] for s in bundle.poses_train]
+    tmpl_idx = [int(rng.integers(0, templates.shape[0])) for _ in lengths]
+
+    flat3d = np.concatenate([np.asarray(s, np.float32)
+                             for s in bundle.poses_train])
+    # full 16-col cam records tiled per frame: same operand signature as the
+    # single-frame path, so the TPU program is shared from the compile cache
+    flatcam = np.concatenate(
+        [np.tile(np.asarray(c, np.float32).reshape(-1)[None, :16], (n, 1))
+         for c, n in zip(bundle.cams_train, lengths)])
+    flatidx = np.concatenate(
+        [np.full(n, t, np.int64) for t, n in zip(tmpl_idx, lengths)])
+
+    templates_j = jnp.asarray(templates)
+    n = flat3d.shape[0]
+    dev3d, dev2d = [], []
+    for s in range(0, n, _RESKIN_CHUNK):
+        e = min(s + _RESKIN_CHUNK, n)
+        padn = _RESKIN_CHUNK - (e - s)
+        sl3 = np.concatenate([flat3d[s:e], flat3d[e - 1:e].repeat(padn, 0)]) \
+            if padn else flat3d[s:e]
+        slc = np.concatenate([flatcam[s:e], flatcam[e - 1:e].repeat(padn, 0)]) \
+            if padn else flatcam[s:e]
+        sli = np.concatenate([flatidx[s:e], flatidx[e - 1:e].repeat(padn)]) \
+            if padn else flatidx[s:e]
+        c3, c2 = _reskin_chunk(jnp.asarray(sl3), jnp.asarray(slc),
+                               templates_j, jnp.asarray(sli))
+        dev3d.append(c3[: e - s])
+        dev2d.append(c2[: e - s])
+    all3d = np.asarray(jnp.concatenate(dev3d) if len(dev3d) > 1 else dev3d[0])
+    all2d = np.asarray(jnp.concatenate(dev2d) if len(dev2d) > 1 else dev2d[0])
+    splits = np.cumsum(lengths)[:-1]
+    new3d = np.split(all3d, splits)
+    new2d = np.split(all2d, splits)
     return ChunkWindows(args.batch_size, bundle.cams_train, new3d, new2d,
                         pad=pad, full_3d_window=True, shuffle=True,
                         random_seed=int(rng.integers(0, 2 ** 31)))

@@ -103,6 +103,19 @@ class TestProfiling:
         out, dt = timed(lambda: jnp.ones(8).sum(), iters=2)
         assert float(out) == 8.0 and dt >= 0
 
+    def test_fence(self):
+        import jax.numpy as jnp
+
+        from dhaug_tpu.utils.profiling import StepTimer, fence
+        # array pytree, plain python, and empty outputs all fence cleanly
+        fence({"a": jnp.ones((3,)), "b": 1})
+        fence([1, "x"])
+        fence(None)
+        t = StepTimer()
+        with t("p", fence_out=jnp.arange(4) * 2):
+            pass
+        assert t.summary()["p"]["count"] == 1
+
 
 class TestCmuPoseTarget:
     def test_batches(self):

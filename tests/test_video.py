@@ -180,3 +180,53 @@ class TestVideoGan:
         for a, b in zip(jax.tree.leaves(md3d_after.params),
                         jax.tree.leaves(gan.md3d_state.params)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+class TestVideoReskinUpdate:
+    def test_matches_per_sequence_reference(self):
+        """The flattened single-dispatch re-skin must equal the per-sequence
+        composition of reskin_pose + project_to_2d (the shape of the
+        reference's video_mode_random_bl_aug, video_mode_operate.py:879-928),
+        with the same template draw per sequence."""
+        from types import SimpleNamespace
+
+        from dhaug_tpu.ops.bones import reskin_pose
+        from dhaug_tpu.ops.camera import project_to_2d
+        from dhaug_tpu.train.video_runner import video_reskin_update
+
+        rng = np.random.default_rng(7)
+        seq3d, _, cams = _sequences(rng, lengths=(23, 9, 31))
+        seq3d = [s * 0.2 for s in seq3d]
+        for c in cams:
+            c[:9] = np.abs(c[:9]) + 0.5     # plausible intrinsics
+        templates = (0.8 + 0.4 * rng.random((5, 15))).astype(np.float32)
+        bundle = SimpleNamespace(poses_train=seq3d, cams_train=cams)
+        args = SimpleNamespace(batch_size=8, architecture="3,3")
+
+        loader = video_reskin_update(args, bundle, templates,
+                                     np.random.default_rng(123))
+
+        # reference composition with the identical draw order
+        rng2 = np.random.default_rng(123)
+        ref3d, ref2d = [], []
+        for s3, cam in zip(seq3d, cams):
+            tmpl = templates[rng2.integers(0, templates.shape[0])]
+            p3 = np.asarray(reskin_pose(jnp.asarray(s3),
+                                        jnp.asarray(tmpl)[None]))
+            p2 = np.asarray(project_to_2d(
+                jnp.asarray(p3),
+                jnp.broadcast_to(jnp.asarray(cam[:9][None]),
+                                 (p3.shape[0], 9))))
+            ref3d.append(p3)
+            ref2d.append(p2)
+        ref = ChunkWindows(args.batch_size, cams, ref3d, ref2d, pad=4,
+                           full_3d_window=True, shuffle=True,
+                           random_seed=int(rng2.integers(0, 2 ** 31)))
+
+        np.testing.assert_allclose(loader.big3d, ref.big3d, atol=1e-6)
+        # the fused jitted program reassociates the projection's distortion
+        # polynomial differently from the eager composition (pure fp32
+        # rounding; amplified by this test's unrealistically hot intrinsics)
+        np.testing.assert_allclose(loader.big2d, ref.big2d,
+                                   rtol=2e-4, atol=1e-5)
+        np.testing.assert_array_equal(loader.start2d, ref.start2d)
