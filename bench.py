@@ -217,13 +217,13 @@ def bench_gan_training(on_tpu: bool, control_pps: float = 0.0):
     gp = gen.init(key, jnp.zeros((2, 128)))["params"]
     p3 = d3d.init(key, jnp.zeros((2, 16, 3)))["params"]
     p2 = d2d.init(key, jnp.zeros((2, 16, 2)))["params"]
-    txs = [adam_gan() for _ in range(3)]
+    gen_tx, d3d_tx, d2d_tx = adam_gan(), adam_gan(), adam_gan()
     quats, trans, intrs = camera_bank(["S1", "S5", "S6", "S7", "S8"])
     steps = make_single_frame_steps(
         lambda p, x: gen.apply({"params": p}, x),
         lambda p, x: d3d.apply({"params": p}, x),
         lambda p, x: d2d.apply({"params": p}, x),
-        txs[0], txs[1], txs[2], gen_cfg, hyper, quats, trans, intrs)
+        d3d_tx, d2d_tx, gen_tx, gen_cfg, hyper, quats, trans, intrs)
 
     rng = np.random.default_rng(0)
     N = GAN_SCAN * B
@@ -234,8 +234,8 @@ def bench_gan_training(on_tpu: bool, control_pps: float = 0.0):
 
     # states are threaded (epoch_step donates them on TPU; a fresh
     # make_state per dispatch would reuse donated buffers)
-    states = [make_state(txs[0], gp), make_state(txs[1], p3),
-              make_state(txs[2], p2)]
+    states = [make_state(gen_tx, gp), make_state(d3d_tx, p3),
+              make_state(d2d_tx, p2)]
 
     def run(k):
         g, s3, s2, out = steps.epoch_step(

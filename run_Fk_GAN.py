@@ -137,7 +137,6 @@ def single_frame_mode_main(args, bundle, train_subjects):
             target_2d = PoseTarget(gt2d3d.poses_2d)
             target_3d = PoseTarget(gt2d3d.poses_3d)
 
-        if args.data_enhancement_method == "GAN":
             key, k_epoch = jax.random.split(key)
             record_dir = f"{run_dir}/tmp" if args.record_all_picture else None
             gan, fake_ds = run_gan_epoch(gan, gt2d3d, target_2d, target_3d,

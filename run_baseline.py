@@ -107,7 +107,7 @@ def main(argv=None):
         if best_dhp is None or dhp["p1"] < best_dhp:
             best_dhp = dhp["p1"]
             save_ckpt(ckpt, run_dir, suffix="best_dhp_p1")
-        if (epoch + 1) % args.snapshot == 0:
+        if (epoch + 1) % max(args.snapshot, 1) == 0:
             save_ckpt(ckpt, run_dir)
         summary.epoch += 1
 

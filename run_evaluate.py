@@ -57,6 +57,17 @@ def main(argv=None):
                          skeleton=bundle.dataset.skeleton(), flag="test")
     params, batch_stats = init_posenet(model, jax.random.PRNGKey(0), example)
     saved = ckpt.get("state_dict", ckpt.get("model_pos"))
+    if saved is None and "pos_state" in ckpt:
+        # full-state resume checkpoint (run_Fk_GAN --snapshot / --resume):
+        # the posenet lives in its NetState
+        pos_state = ckpt["pos_state"]
+        saved = pos_state.params
+        if getattr(pos_state, "batch_stats", None):
+            batch_stats = restore_into(batch_stats, pos_state.batch_stats)
+    if saved is None:
+        raise SystemExit(
+            f"unsupported checkpoint format: keys {sorted(ckpt)} (expected "
+            "'state_dict', 'model_pos', or a full-state 'pos_state')")
     params = restore_into(params, saved)
     if ckpt.get("batch_stats"):
         batch_stats = restore_into(batch_stats, ckpt["batch_stats"])
@@ -127,6 +138,9 @@ def main(argv=None):
         print(f"3DPW  : P1 {p1:.2f} mm | P2 {p2:.2f} mm "
               f"({len(mapped)}-joint protocol, {gt.shape[0]} frames)")
 
+    if video and getattr(args, "action_wise", False):
+        print("note: --action_wise per-action breakdown is only implemented "
+              "for single-frame checkpoints; skipping")
     if not video and getattr(args, "action_wise", False):
         # per-action H36M P1 breakdown (the paper's reporting format)
         from dhaug_tpu.train.runners import eval_batches

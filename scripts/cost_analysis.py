@@ -57,17 +57,17 @@ def single_frame_costs():
     gp = gen.init(key, jnp.zeros((2, 128)))["params"]
     p3 = d3d.init(key, jnp.zeros((2, 16, 3)))["params"]
     p2 = d2d.init(key, jnp.zeros((2, 16, 2)))["params"]
-    txs = [adam_gan() for _ in range(3)]
+    gen_tx, d3d_tx, d2d_tx = adam_gan(), adam_gan(), adam_gan()
     quats, trans, intrs = camera_bank(["S1"])
     steps = make_single_frame_steps(
         lambda p, x: gen.apply({"params": p}, x),
         lambda p, x: d3d.apply({"params": p}, x),
         lambda p, x: d2d.apply({"params": p}, x),
-        txs[0], txs[1], txs[2], gen_cfg, hyper, quats, trans, intrs)
+        d3d_tx, d2d_tx, gen_tx, gen_cfg, hyper, quats, trans, intrs)
 
-    sg = make_state(txs[0], gp)
-    s3 = make_state(txs[1], p3)
-    s2 = make_state(txs[2], p2)
+    sg = make_state(gen_tx, gp)
+    s3 = make_state(d3d_tx, p3)
+    s2 = make_state(d2d_tx, p2)
     real3d = jnp.zeros((B, 16, 3))
     cam16 = jnp.zeros((B, 16))
     real2d = jnp.zeros((B, 16, 2))

@@ -41,6 +41,7 @@ def main(argv=None):
         jax.config.update("jax_platforms", args.jax_platform)
     jax.config.update("jax_compilation_cache_dir",
                       os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
     import jax.numpy as jnp
     import numpy as np
 
