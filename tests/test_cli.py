@@ -161,6 +161,13 @@ def test_fk_gan_resume_roundtrip(workdir):
     # resumed run continues at epoch 2 (0-indexed third epoch)
     assert "Epoch: 2" in p2.stdout
 
+    # run_evaluate accepts the full-state resume layout too (the posenet
+    # lives under 'pos_state' there, not 'state_dict'/'model_pos')
+    p3 = run_cli("run_evaluate.py", "--evaluate", sorted(ckpts)[-1],
+                 "--posenet_name", "mlp", "--stages", "1", *COMMON)
+    assert p3.returncode == 0, p3.stderr[-2000:]
+    assert "H36M" in p3.stdout
+
 
 @pytest.mark.slow
 def test_fk_gan_video_mode(workdir):
