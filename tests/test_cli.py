@@ -84,20 +84,25 @@ def test_bench_json_contract(workdir):
     exact 4-field schema; the line before it carries the GAN training-step
     metric.  (Run on CPU here; the driver runs it on the TPU.)"""
     env = dict(os.environ)
-    env["JAX_PLATFORMS"] = "cpu"
+    # NB the env var JAX_PLATFORMS=cpu is IGNORED in this container
+    # (CLAUDE.md); the injected jax.config.update below is what forces CPU
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     src = open(os.path.join(REPO, "bench.py")).read()
-    # shrink the workload for CPU
-    src = src.replace("BATCH = 65536", "BATCH = 256")
-    src = src.replace("SCAN_STEPS = 64", "SCAN_STEPS = 2")
-    src = src.replace("DENSE = 1000", "DENSE = 64")
-    src = src.replace("ITERS = 5", "ITERS = 2")
-    src = src.replace("GAN_BATCH = 1024", "GAN_BATCH = 32")
-    src = src.replace("GAN_SCAN = 80", "GAN_SCAN = 3")
-    src = src.replace("GAN_ITERS = 3", "GAN_ITERS = 1")
-    src = src.replace("from __future__ import annotations",
-                      "from __future__ import annotations\n"
-                      "import jax; jax.config.update('jax_platforms', 'cpu')")
+    # shrink the workload for CPU; each replace asserts its anchor still
+    # exists so a bench.py retune can't silently leave the full TPU-scale
+    # workload running here
+    for anchor, small in (("BATCH = 65536", "BATCH = 256"),
+                          ("SCAN_STEPS = 64", "SCAN_STEPS = 2"),
+                          ("DENSE = 1000", "DENSE = 64"),
+                          ("ITERS = 5", "ITERS = 2"),
+                          ("GAN_BATCH = 1024", "GAN_BATCH = 32"),
+                          ("GAN_SCAN = 80", "GAN_SCAN = 3"),
+                          ("GAN_ITERS = 3", "GAN_ITERS = 1"),
+                          ("from __future__ import annotations",
+                           "from __future__ import annotations\n"
+                           "import jax; jax.config.update('jax_platforms', 'cpu')")):
+        assert src.count(anchor) == 1, f"bench.py anchor changed: {anchor!r}"
+        src = src.replace(anchor, small)
     path = os.path.join(workdir, "bench_small.py")
     with open(path, "w") as f:
         f.write(src)
@@ -148,12 +153,12 @@ def test_fk_gan_resume_roundtrip(workdir):
     import glob
     jsonls = glob.glob(os.path.join(workdir, "resume", "**", "metrics.jsonl"),
                        recursive=True)
-    if jsonls:
-        stream = open(jsonls[0]).read()
-        for tag in ("posenet_H36M_test/p1score_fake",
-                    "posenet_mpi3d_loader_flip/p1score_real",
-                    "train_G_iter_PoseFk/Fk_d3d_Wasserstein_D"):
-            assert tag in stream, tag
+    assert jsonls, "MetricsWriter produced no metrics.jsonl"
+    stream = open(jsonls[0]).read()
+    for tag in ("posenet_H36M_test/p1score_fake",
+                "posenet_mpi3d_loader_flip/p1score_real",
+                "train_G_iter_PoseFk/Fk_d3d_Wasserstein_D"):
+        assert tag in stream, tag
     p2 = run_cli("run_Fk_GAN.py", "--epochs", "3", "--resume",
                  sorted(ckpts)[-1], *common)
     assert p2.returncode == 0, p2.stderr[-2000:]
@@ -272,7 +277,7 @@ def test_data_parallel_flag_rejects_bad_configs():
     must get an error, never a silent single-chip run."""
     proc = run_cli("run_baseline.py", "--posenet_name", "mlp",
                    "--epochs", "1", "--stages", "1",
-                   "--data_parallel_devices", "999")
+                   "--data_parallel_devices", "999", *COMMON)
     assert proc.returncode != 0
     assert "999" in proc.stderr
     env = dict(os.environ)

@@ -79,16 +79,17 @@ def _tiny_gan_steps(flip=True, mesh=None, pallas=False):
     p3 = d3d.init(KEY, jnp.zeros((2, 16, 3)))["params"]
     p2 = d2d.init(KEY, jnp.zeros((2, 16, 2)))["params"]
     quats, trans, intrs = camera_bank(["S1"])
-    txs = [adam_gan() for _ in range(3)]
+    gen_tx, d3d_tx, d2d_tx = adam_gan(), adam_gan(), adam_gan()
     # pallas=True uses interpreter mode (CPU backend in tests)
     hyper = GanHyper(flip=flip, use_pallas_fk=pallas, pallas_interpret=pallas)
     steps = make_single_frame_steps(
         lambda p, x: gen.apply({"params": p}, x),
         lambda p, x: d3d.apply({"params": p}, x),
         lambda p, x: d2d.apply({"params": p}, x),
-        txs[0], txs[1], txs[2], gen_cfg, hyper,
+        d3d_tx, d2d_tx, gen_tx, gen_cfg, hyper,
         quats, trans, intrs, mesh=mesh)
-    return steps, txs, (gp, p3, p2), (quats, trans, intrs)
+    # returned in the order consumers pair them with (gp, p3, p2)
+    return steps, (gen_tx, d3d_tx, d2d_tx), (gp, p3, p2), (quats, trans, intrs)
 
 
 def test_sharded_epoch_step_matches_single_device():

@@ -158,7 +158,8 @@ class TestSchedules:
         _, tx, state = _mlp_setup()
         state = set_learning_rate(state, 5e-4)
         np.testing.assert_allclose(current_learning_rate(state), 5e-4)
-        # for the chained (clip + adam) posenet optimizer too
+        # and for the plain inject_hyperparams(adam) GAN optimizer (no
+        # clip chain) too
         tx2 = adam_gan()
         from dhaug_tpu.models.discriminators import Fk2DDiscriminator
         d = Fk2DDiscriminator(dense_dim=16)

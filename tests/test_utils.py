@@ -229,13 +229,17 @@ class TestFkInspector:
 
         import jax.numpy as jnp
 
-        sys.path.insert(0, os.path.join(os.path.dirname(
-            os.path.dirname(os.path.abspath(__file__))), "scripts"))
-        import make_fk_inspector
+        scripts_dir = os.path.join(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))), "scripts")
+        sys.path.insert(0, scripts_dir)
+        try:
+            import make_fk_inspector
 
-        from dhaug_tpu.ops import fk
+            from dhaug_tpu.ops import fk
 
-        out = make_fk_inspector.generate(str(tmp_path / "insp.html"))
+            out = make_fk_inspector.generate(str(tmp_path / "insp.html"))
+        finally:
+            sys.path.remove(scripts_dir)
         html = open(out).read()
         assert "<canvas" in html and "selfTest" in html and "fkPose16" in html
 
