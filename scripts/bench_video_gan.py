@@ -11,6 +11,9 @@ production config (batch 512, receptive field 9, dense 1000;
 
 Timing protocol per CLAUDE.md: the epoch scan is ONE dispatch; the fence is
 a scalar fetch of the final metrics (block_until_ready is unreliable here).
+The default 80 iterations/dispatch matches the single-frame bench and sits
+close to the production video epoch length (~156 at the 80k fixture), so
+the fixed ~35 ms tunnel round trip adds <0.5 ms/iter.
 Compare: `scripts/bench_reference_torch.py --mode video_gan_iter` (CPU).
 """
 import os
@@ -20,7 +23,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def measure(n_batches: int = 40, reps: int = 3, verbose: bool = True) -> dict:
+def measure(n_batches: int = 80, reps: int = 3, verbose: bool = True) -> dict:
     """Measure the production video epoch program's per-iteration cost and
     return {"iters_per_sec", "ms_per_iter"} (best of ``reps`` dispatches of
     ``n_batches`` iterations each).  Also imported by bench.py for its
