@@ -33,7 +33,7 @@ from dhaug_tpu.train.state import NetState, adam_gan, make_state
 _RESKIN_CHUNK = 16384
 
 
-@functools.partial(jax.jit, static_argnames=())
+@jax.jit
 def _reskin_chunk(poses_3d, cams, templates, idx):
     new3d = reskin_pose(poses_3d, templates[idx])
     new2d = project_to_2d(new3d, cams[:, :9])
@@ -217,9 +217,12 @@ def run_gan_epoch(gan: GanBundle, gt2d3d: PoseDataset, target_2d: PoseTarget,
     iter_base = summary.train_iter_num
     summary.train_iter_num += n_batches
 
-    # stacked per-iteration metrics, ONE host fetch serving both the writer
-    # block and the epoch-mean scalars below
-    scalars = {k: np.asarray(v) for k, v in scalars.items()}
+    # stacked per-iteration metrics: ONE packed device->host transfer
+    # (fetch_tree groups the same-dtype stacks; per-leaf np.asarray would pay
+    # a ~30-40 ms tunnel round trip per key) serving both the writer block
+    # and the epoch-mean scalars below
+    from dhaug_tpu.utils.checkpoint import fetch_tree
+    scalars = fetch_tree(scalars)
 
     if writer is not None:
         # tag names follow the reference's writer names
@@ -252,7 +255,6 @@ def run_gan_epoch(gan: GanBundle, gt2d3d: PoseDataset, target_2d: PoseTarget,
     # crossed a 500-iteration boundary (or at the very start)
     crossed_500 = (iter_base // 500) != (summary.train_iter_num // 500)
     if record_dir is not None and (crossed_500 or iter_base == 0):
-        import os
         # fresh subkey: the epoch key was already consumed above, and reusing
         # it would correlate the heatmap's probe noise with the epoch draws
         key, k_heat = jax.random.split(key)

@@ -192,7 +192,7 @@ def make_video_steps(gen_apply, d3d_apply, d2d_apply, md3d_apply, md2d_apply,
 
         # harvest bone lengths from the clip's first frame (bones are
         # constant within a real clip; the generator takes one set per clip)
-        bone_len = bone_lengths_fk(real_3d_clip)  # (B, F, 15)
+        bone_len = bone_lengths_fk(real_3d_clip[:, 0])[:, None]  # (B, 1, 15)
 
         # real world clips, root-centred per frame (video_GAN_fun.py:178-181)
         real_world = camera_to_world_batch(
@@ -562,7 +562,10 @@ def _run_video_gan_epoch_scan(gan: VideoGanBundle, loader, batch_size: int,
     summary.train_fakepose_iter_num += gen_steps
     summary.train_iter_num += n_batches
 
-    scalars = {k: np.asarray(v) for k, v in scalars.items()}
+    # ONE packed device->host transfer for the stacked scalars (per-leaf
+    # np.asarray costs a ~30-40 ms tunnel round trip per key)
+    from dhaug_tpu.utils.checkpoint import fetch_tree
+    scalars = fetch_tree(scalars)
     # G_cost is NaN off the generator iterations; skip all-NaN columns
     summary.record_epoch_scalars(
         {k: float(np.nanmean(v)) for k, v in scalars.items()

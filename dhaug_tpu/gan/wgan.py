@@ -89,7 +89,6 @@ def tiled_cam16(intr, quat, trans, n: int) -> jnp.ndarray:
 def discriminator_accuracy(prediction, label) -> float:
     """Fraction of critic outputs within 0.5 of the label — the reference's
     tensorboard accuracy probe (utils/gan_utils.py:141-155)."""
-    import numpy as np
     rlt = np.abs(np.asarray(prediction) - np.asarray(label))
     return float(np.mean(rlt <= 0.5))
 
