@@ -149,6 +149,9 @@ def main():
             "vs_baseline": round(v["iters_per_sec"]
                                  / TORCH_REFERENCE_VIDEO_GAN_ITERS_PER_SEC, 2),
             "ms_per_iter": round(v["ms_per_iter"], 3),
+            # same in-process tunnel-load control as the single-frame line
+            "control_poses_per_sec": round(pps, 1),
+            "control_ratio": round(pps / NOMINAL_TPU_POSES_PER_SEC, 3),
         }))
     gan = bench_gan_training(on_tpu, control_pps=pps)
     print(json.dumps(gan))

@@ -18,19 +18,51 @@ from dhaug_tpu.models.generator import GeneratorConfig, sample_scaler8, synthesi
 
 def make_sharded_synthesizer(gen_apply, gen_cfg: GeneratorConfig,
                              bone_scaler_mode: str = "different",
-                             noise_dim: int = 128):
+                             noise_dim: int = 128, mesh=None,
+                             use_pallas_fk: bool = False,
+                             interpret: bool = False):
     """Compiled bulk pose synthesis: (params, bone_len (B,15), key) -> poses.
-    Shard the bone_len batch over 'data' and the fakes come back sharded —
-    per-chip work is embarrassingly parallel, ICI carries nothing until the
-    optional host gather."""
 
-    @jax.jit
-    def synthesize(gen_params, bone_len, key):
+    Without a ``mesh`` (or on a 1-device mesh) this is one jitted program;
+    ``use_pallas_fk`` routes the DH chain through the fused kernel
+    (ops/fk_pallas.py) on the inference path.
+
+    Under a multi-device ``mesh`` the WHOLE per-shard body — noise draw,
+    generator trunk (``gen_apply`` may be the fused Pallas trunk,
+    models/trunk_pallas.py, which GSPMD cannot partition), scaler draw and
+    FK — runs inside one ``shard_map`` over 'data': params ride replicated,
+    bone_len arrives batch-sharded, poses come back sharded, and ICI carries
+    nothing until the optional host gather.  Each shard folds its
+    ``axis_index`` into the key, so the global noise set differs from the
+    single-device draw for the same key (sampling semantics only — the
+    output distribution is identical).  ``interpret`` runs the Pallas
+    kernels in interpreter mode for CPU test meshes.
+    """
+
+    def body(gen_params, bone_len, key):
         B = bone_len.shape[0]
         k_n, k_s = jax.random.split(key)
         noise = jax.random.normal(k_n, (B, noise_dim))
         head = gen_apply(gen_params, noise)
         scaler = sample_scaler8(k_s, B, bone_scaler_mode)
-        return synthesize_poses(head, bone_len, scaler, gen_cfg)
+        return synthesize_poses(head, bone_len, scaler, gen_cfg,
+                                use_pallas=use_pallas_fk, interpret=interpret)
 
-    return synthesize
+    if mesh is None or mesh.devices.size == 1:
+        return jax.jit(body)
+
+    from jax.sharding import PartitionSpec as P
+
+    def per_shard(gen_params, bone_len, key):
+        key = jax.random.fold_in(key, jax.lax.axis_index("data"))
+        return body(gen_params, bone_len, key)
+
+    spec_in = (P(), P("data"), P())
+    kwargs = dict(mesh=mesh, in_specs=spec_in, out_specs=P("data"))
+    try:
+        from jax import shard_map  # jax >= 0.6
+        fn = shard_map(per_shard, check_vma=False, **kwargs)
+    except ImportError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map
+        fn = shard_map(per_shard, check_rep=False, **kwargs)
+    return jax.jit(fn)

@@ -70,16 +70,19 @@ def main(argv=None):
     mesh = make_mesh(n_dev, model_axis=1)
     B = args.batch - (args.batch % max(n_dev, 1)) or n_dev
     from dhaug_tpu.ops.fk_pallas import fk_pallas_supported
-    if fk_pallas_supported() and n_dev == 1:
-        # fused Pallas trunk (models/trunk_pallas.py): same bf16-multiply /
-        # fp32-accumulate precision as XLA's default matmul, ~14% faster.
-        # Under a multi-device mesh the pallas_call would need a shard_map
-        # (GSPMD can't partition it), so the XLA trunk serves that case.
+    use_pallas = fk_pallas_supported()
+    if use_pallas:
+        # fused Pallas trunk (models/trunk_pallas.py, ~14% faster at the
+        # same bf16-multiply / fp32-accumulate precision as XLA's default
+        # matmul) + fused Pallas FK.  Under a multi-device mesh the
+        # synthesizer shard_maps the whole per-shard body over 'data'
+        # (GSPMD can't partition a pallas_call).
         from dhaug_tpu.models.trunk_pallas import trunk_forward_pallas
         gen_apply = lambda p, x: trunk_forward_pallas(p, x)
     else:
         gen_apply = lambda p, x: net.apply({"params": p}, x)
-    synthesize = make_sharded_synthesizer(gen_apply, cfg)
+    synthesize = make_sharded_synthesizer(gen_apply, cfg, mesh=mesh,
+                                          use_pallas_fk=use_pallas)
 
     quats, trans, intrs = camera_bank(["S1", "S5", "S6", "S7", "S8"])
 

@@ -414,3 +414,52 @@ def test_sharded_gan_step_matches_unsharded():
     for k in m_single:
         np.testing.assert_allclose(m_sharded[k], m_single[k], rtol=1e-4,
                                    atol=1e-5, err_msg=k)
+
+
+def test_sharded_synthesizer_keeps_both_pallas_kernels():
+    """Bulk synthesis (BASELINE.json config #5) keeps BOTH fused kernels
+    under a multi-device mesh: make_sharded_synthesizer shard_maps the whole
+    per-shard body over 'data' (GSPMD can't partition a pallas_call), so the
+    Pallas trunk (models/trunk_pallas.py) and the Pallas FK chain
+    (ops/fk_pallas.py) run per shard instead of silently downgrading to the
+    XLA lowering the way the pre-round-3 script did for n_dev > 1."""
+    from dhaug_tpu.models.generator import FkGeneratorNet, GeneratorConfig
+    from dhaug_tpu.models.trunk_pallas import (trunk_forward_pallas,
+                                               trunk_reference_bf16)
+    from dhaug_tpu.ops.fk import CANONICAL_BONE_LEN
+    from dhaug_tpu.parallel.sharded import make_sharded_synthesizer
+
+    mesh = make_mesh(8)
+    B = 64
+    cfg = GeneratorConfig(dense_dim=64)
+    net = FkGeneratorNet(cfg)
+    params = net.init(KEY, jnp.zeros((2, 128)))["params"]
+    xla_apply = lambda p, x: net.apply({"params": p}, x)
+    pl_apply = lambda p, x: trunk_forward_pallas(p, x, interpret=True)
+    bone_len = jnp.broadcast_to(jnp.asarray(CANONICAL_BONE_LEN), (B, 15))
+
+    params_r = replicate(mesh, params)
+    bl = shard_batch(mesh, bone_len)
+    key = jax.random.PRNGKey(3)
+
+    out = {}
+    for name, apply_fn, pallas_fk in (
+            ("xla", xla_apply, False),
+            ("pallas_fk", xla_apply, True),
+            ("bf16_oracle", lambda p, x: trunk_reference_bf16(p, x), False),
+            ("pallas_both", pl_apply, True)):
+        syn = make_sharded_synthesizer(apply_fn, cfg, mesh=mesh,
+                                       use_pallas_fk=pallas_fk,
+                                       interpret=True)
+        out[name] = np.asarray(syn(params_r, bl, key))
+
+    assert out["xla"].shape == (B, 16, 3)
+    # each shard folds its axis_index into the key: shards draw distinct noise
+    assert not np.allclose(out["xla"][:8], out["xla"][8:16])
+    # Pallas FK is fp32 like the precision-pinned XLA path: tight
+    np.testing.assert_allclose(out["pallas_fk"], out["xla"], atol=1e-5)
+    # the trunk kernel matches its bf16-multiply XLA oracle bitwise
+    # (test_fk_pallas), so through the fp32 FK the full fused path tracks
+    # the oracle-trunk run to FK-kernel tolerance
+    np.testing.assert_allclose(out["pallas_both"], out["bf16_oracle"],
+                               atol=1e-5)
