@@ -51,6 +51,17 @@ def make_sharded_synthesizer(gen_apply, gen_cfg: GeneratorConfig,
     if mesh is None or mesh.devices.size == 1:
         return jax.jit(body)
 
+    # the in/out specs below shard over 'data' only; a mesh with a non-unit
+    # 'model' axis would silently replicate the whole body model_axis× —
+    # fail loudly instead (the production caller, scripts/
+    # synthesize_dataset.py:70, always builds a data-only mesh)
+    if "model" in mesh.shape and mesh.shape["model"] != 1:
+        raise ValueError(
+            "make_sharded_synthesizer shards over the 'data' axis only; got "
+            f"a mesh with model={mesh.shape['model']}. Build the synthesis "
+            "mesh with make_mesh(n_dev, model_axis=1) so every device "
+            "carries a distinct batch shard.")
+
     from jax.sharding import PartitionSpec as P
 
     def per_shard(gen_params, bone_len, key):
@@ -59,10 +70,18 @@ def make_sharded_synthesizer(gen_apply, gen_cfg: GeneratorConfig,
 
     spec_in = (P(), P("data"), P())
     kwargs = dict(mesh=mesh, in_specs=spec_in, out_specs=P("data"))
+    # jax >= 0.6 exposes top-level jax.shard_map(check_vma=...); in the
+    # 0.4.35-0.5 transition window the top-level symbol exists but still
+    # takes check_rep, so feature-detect the kwarg instead of trusting the
+    # import location
+    import inspect
     try:
         from jax import shard_map  # jax >= 0.6
-        fn = shard_map(per_shard, check_vma=False, **kwargs)
     except ImportError:  # pragma: no cover - older jax
         from jax.experimental.shard_map import shard_map
+    params = inspect.signature(shard_map).parameters
+    if "check_vma" in params:
+        fn = shard_map(per_shard, check_vma=False, **kwargs)
+    else:  # pragma: no cover - transition-window jax
         fn = shard_map(per_shard, check_rep=False, **kwargs)
     return jax.jit(fn)

@@ -40,6 +40,12 @@ def _add_common(parser: argparse.ArgumentParser):
     parser.add_argument("--s1only", default=False, type=_str2bool)
     parser.add_argument("--num_workers", default=0, type=int, metavar="N",
                         help="accepted for CLI compatibility; the host feed is single-process")
+    parser.add_argument("--ckpt_format", default="pickle", type=str,
+                        choices=("pickle", "orbax"),
+                        help="full-state snapshot format: 'pickle' (one "
+                             ".ckpt file) or 'orbax' (a ckpt_<suffix>/ orbax "
+                             "directory); --resume/--evaluate auto-detect "
+                             "either")
     # TPU-native extensions
     parser.add_argument("--data_root", default=".", type=str,
                         help="directory containing data/ and data_extra/")

@@ -91,6 +91,7 @@ def save_ckpt_orbax(state: dict, ckpt_dir: str, suffix: str = "orbax") -> str:
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(os.path.join(ckpt_dir, f"ckpt_{suffix}"))
+    state = fetch_tree(state)  # bulk device->host in O(dtype) transfers
     arrays = {}
     others = {}
     flat, treedef = jax.tree_util.tree_flatten_with_path(state)
@@ -98,8 +99,11 @@ def save_ckpt_orbax(state: dict, ckpt_dir: str, suffix: str = "orbax") -> str:
         key = jax.tree_util.keystr(keypath)
         numeric_array = (isinstance(leaf, (jax.Array, np.ndarray))
                          and np.issubdtype(np.asarray(leaf).dtype, np.number))
-        numeric_scalar = isinstance(leaf, (bool, int, float, np.number))
-        if numeric_array or numeric_scalar:
+        # Python scalars ride the sidecar, NOT orbax: int leaves include
+        # 128-bit PCG64 RNG state words that overflow int64 (np.asarray
+        # would silently produce an object array orbax can't store), and
+        # exact type round-tripping matters for np_rng.bit_generator.state
+        if numeric_array:
             arrays[key] = np.asarray(leaf)
         else:
             others[key] = leaf
@@ -128,19 +132,57 @@ def load_ckpt_orbax(path: str) -> dict:
     return jax.tree_util.tree_unflatten(treedef, ordered)
 
 
+def save_snapshot(state: dict, ckpt_dir: str, suffix: str,
+                  fmt: str = "pickle") -> str:
+    """Format-dispatching full-state snapshot save (--ckpt_format):
+    'pickle' -> one ckpt_<suffix>.ckpt file; 'orbax' -> a ckpt_<suffix>/
+    orbax directory (arrays via orbax, non-array leaves in a sidecar)."""
+    if fmt == "orbax":
+        return save_ckpt_orbax(state, ckpt_dir, suffix=suffix)
+    if fmt != "pickle":
+        raise ValueError(f"unknown --ckpt_format {fmt!r} (pickle|orbax)")
+    return save_ckpt(state, ckpt_dir, suffix=suffix)
+
+
+def load_snapshot(path: str) -> dict:
+    """Load a snapshot saved by :func:`save_snapshot` in either format —
+    orbax snapshots are directories, pickle snapshots are files."""
+    if os.path.isdir(path):
+        return load_ckpt_orbax(path)
+    return load_ckpt(path)
+
+
 def restore_into(template: Any, saved: Any) -> Any:
     """Graft saved arrays onto a freshly-initialized pytree ``template``
-    (keeps aux static structure, validates shapes)."""
-    flat_t, treedef = jax.tree.flatten(template)
-    flat_s = jax.tree.leaves(saved)
+    (keeps aux static structure; validates leaf KEY PATHS and shapes).
+
+    Key paths are compared, not just flattened order: a checkpoint from a
+    different architecture whose leaf count and shapes coincidentally match
+    (e.g. two 3-block towers with transposed layer widths) must raise, not
+    graft silently."""
+    flat_t, treedef = jax.tree_util.tree_flatten_with_path(template)
+    flat_s, _ = jax.tree_util.tree_flatten_with_path(saved)
     if len(flat_t) != len(flat_s):
         raise ValueError(
             f"checkpoint structure mismatch: {len(flat_s)} saved leaves vs "
             f"{len(flat_t)} template leaves")
+    mismatched = [
+        (jax.tree_util.keystr(kt), jax.tree_util.keystr(ks))
+        for (kt, _), (ks, _) in zip(flat_t, flat_s)
+        if jax.tree_util.keystr(kt) != jax.tree_util.keystr(ks)]
+    if mismatched:
+        head = "; ".join(f"template {t} vs saved {s}"
+                         for t, s in mismatched[:3])
+        raise ValueError(
+            f"checkpoint key-path mismatch ({len(mismatched)} of "
+            f"{len(flat_t)} leaves differ): {head}. The checkpoint was "
+            "saved from a different model/optimizer architecture.")
     out = []
-    for t, s in zip(flat_t, flat_s):
+    for (kt, t), (_, s) in zip(flat_t, flat_s):
         s = np.asarray(s)
         if hasattr(t, "shape") and tuple(t.shape) != tuple(s.shape):
-            raise ValueError(f"shape mismatch {t.shape} vs {s.shape}")
+            raise ValueError(
+                f"shape mismatch at {jax.tree_util.keystr(kt)}: "
+                f"template {tuple(t.shape)} vs saved {tuple(s.shape)}")
         out.append(s)
-    return jax.tree.unflatten(treedef, out)
+    return jax.tree_util.tree_unflatten(treedef, out)

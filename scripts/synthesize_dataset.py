@@ -32,7 +32,11 @@ def main(argv=None):
     ap.add_argument("--random_init", default=False,
                     type=lambda x: str(x).lower() == "true")
     ap.add_argument("--Gen_DenseDim", default=1000, type=int)
-    ap.add_argument("--seed", default=0, type=int)
+    ap.add_argument("--seed", default=0, type=int,
+                    help="RNG seed. NOTE: each device shard folds its mesh "
+                         "position into the key, so the dataset for a fixed "
+                         "seed depends on the device count too (recorded as "
+                         "'n_devices' in the output npz)")
     ap.add_argument("--jax_platform", default="", type=str)
     args = ap.parse_args(argv)
 
@@ -118,7 +122,10 @@ def main(argv=None):
     pose3d = np.concatenate(out3d)
     pose2d = np.concatenate(out2d)
     cams = np.concatenate(outcam)
-    np.savez_compressed(args.out, pose3d=pose3d, pose2d=pose2d, cam=cams)
+    # n_devices is part of the sampling identity: shards fold their mesh
+    # position into the RNG key, so (seed, n_devices) pins the dataset
+    np.savez_compressed(args.out, pose3d=pose3d, pose2d=pose2d, cam=cams,
+                        seed=np.int64(args.seed), n_devices=np.int64(n_dev))
     print(f"wrote {args.out}: {pose3d.shape[0]} poses in {dt:.1f}s "
           f"({pose3d.shape[0] / dt:.0f} poses/s over {n_dev} device(s))")
 

@@ -204,6 +204,25 @@ class TestCheckpoint:
         with pytest.raises(ValueError):
             restore_into(t, s)
 
+    def test_restore_keypath_mismatch_raises(self):
+        """A checkpoint from a DIFFERENT architecture whose flattened leaf
+        count and shapes coincidentally match must raise, not graft silently
+        (round-3 VERDICT weak #4)."""
+        import pytest
+        from dhaug_tpu.utils.checkpoint import restore_into
+        t = {"encoder": {"w": np.zeros((2, 3)), "b": np.zeros((3,))}}
+        s = {"decoder": {"w": np.zeros((2, 3)), "b": np.zeros((3,))}}
+        with pytest.raises(ValueError, match="key-path mismatch"):
+            restore_into(t, s)
+        # same top key, different leaf names: also rejected
+        s2 = {"encoder": {"kernel": np.zeros((2, 3)), "b": np.zeros((3,))}}
+        with pytest.raises(ValueError, match="key-path mismatch"):
+            restore_into(t, s2)
+        # matching paths still restore (values flow through)
+        good = {"encoder": {"w": np.ones((2, 3)), "b": np.ones((3,))}}
+        out = restore_into(t, good)
+        np.testing.assert_allclose(out["encoder"]["w"], 1.0)
+
 
 class TestReskin:
     def test_reskin_dataset_sets_template_lengths(self):
