@@ -293,6 +293,45 @@ def evaluate_scan(eval_fn, params, batch_stats, dev2d, dev3d,
     }
 
 
+def evaluate_sequences(forward, params, batch_stats, batches,
+                       flip_forward=None) -> Dict[str, float]:
+    """Whole-sequence evaluation with the reference's SEQUENCE-weighted
+    aggregation (video_mode_operate.py:769-862): the UnchunkedGenerator
+    yields batch=1 whole sequences, so every AverageMeter update there
+    carries num_poses == 1 — each camera sequence contributes EQUALLY to the
+    published number regardless of its frame count (unlike the single-frame
+    protocol's per-frame weighting).  ``batches`` yields
+    (inputs_2d (1, T(+pad bucket), 16, 2), targets_3d (1, T', 16, 3), valid)
+    where ``valid`` masks bucket padding out of the per-sequence means."""
+    fwd = flip_forward if flip_forward is not None else forward
+    p1s, p2s, pcks, aucs = [], [], [], []
+    for batch in batches:
+        inputs_2d, targets_3d = batch[0], batch[1]
+        valid = batch[2] if len(batch) > 2 else None
+        outputs = fwd(params, batch_stats, jnp.asarray(inputs_2d))
+        p1, p2, err = _per_sample_metrics(outputs, jnp.asarray(targets_3d))
+        if valid is not None:
+            p1, p2, err = p1[:valid], p2[:valid], err[:valid]
+        # per-sequence means, each later counted with weight 1
+        p1s.append(jnp.mean(p1))
+        p2s.append(jnp.mean(p2))
+        frac = jnp.stack([jnp.mean(err < t) * 100.0
+                          for t in _AUC_THRESHOLDS])
+        pcks.append(frac[-1])          # threshold 150 is the last entry
+        aucs.append(jnp.mean(frac))
+    if not p1s:
+        return {k: float("nan") for k in ("p1", "p2", "pck", "auc")}
+    # one host fetch for the whole evaluation
+    stacked = np.asarray(jnp.stack([jnp.stack(p1s), jnp.stack(p2s),
+                                    jnp.stack(pcks), jnp.stack(aucs)]))
+    return {
+        "p1": float(stacked[0].mean()),
+        "p2": float(stacked[1].mean()),
+        "pck": float(stacked[2].mean()),
+        "auc": float(stacked[3].mean()),
+    }
+
+
 def evaluate(forward, params, batch_stats, batches,
              flip_forward=None) -> Dict[str, float]:
     """Batched evaluation; exact per-frame-weighted P1/P2 (mm) and per-joint

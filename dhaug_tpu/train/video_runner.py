@@ -166,7 +166,8 @@ def video_mode_main(args, train_subjects: List[str]):
 
     from dhaug_tpu.gan.video import build_video_gan, run_video_gan_epoch
     from dhaug_tpu.models.factory import init_posenet, make_posenet
-    from dhaug_tpu.train.posenet import (evaluate, make_posenet_epoch_fn,
+    from dhaug_tpu.train.posenet import (evaluate, evaluate_sequences,
+                                         make_posenet_epoch_fn,
                                          make_posenet_eval_step,
                                          make_video_window_epoch_fn)
     from dhaug_tpu.train.runners import (make_logger, make_run_dir,
@@ -229,6 +230,13 @@ def video_mode_main(args, train_subjects: List[str]):
     # _video_eval_batches docstring)
     eval_mesh = mesh if not isinstance(h36m_eval, UnchunkedSequences) else None
 
+    # whole-sequence (UnchunkedSequences) evaluation uses the reference's
+    # SEQUENCE-weighted aggregation (num_poses == 1 per UnchunkedGenerator
+    # yield, video_mode_operate.py:787,828); the windowed flavour keeps the
+    # per-frame weighting of the single-frame protocol
+    eval_agg = evaluate_sequences \
+        if isinstance(h36m_eval, UnchunkedSequences) else evaluate
+
     def eval_both():
         params, stats = pos_state.params, pos_state.batch_stats
         if eval_mesh is not None:
@@ -236,10 +244,10 @@ def video_mode_main(args, train_subjects: List[str]):
             params = replicate(eval_mesh, params)
             if stats:
                 stats = replicate(eval_mesh, stats)
-        h36m = evaluate(forward, params, stats,
+        h36m = eval_agg(forward, params, stats,
                         _video_eval_batches(h36m_eval, args.batch_size, rf,
                                             mesh=eval_mesh))
-        dhp = evaluate(forward, params, stats,
+        dhp = eval_agg(forward, params, stats,
                        _video_eval_batches(mpi3d_eval, args.batch_size, rf,
                                            mesh=eval_mesh),
                        flip_forward=flip_forward)
@@ -302,10 +310,10 @@ def video_mode_main(args, train_subjects: List[str]):
     # Full-state resume (all 6 nets + optimizers + counters + RNG), matching
     # the single-frame runner; the reference's --resume/--GAN_resume flags
     # have no load path at all (SURVEY.md §5).
-    from dhaug_tpu.utils.checkpoint import load_ckpt, restore_into
+    from dhaug_tpu.utils.checkpoint import load_snapshot, restore_into
     resume_path = args.resume or args.GAN_resume
     if resume_path:
-        saved = load_ckpt(resume_path)
+        saved = load_snapshot(resume_path)
         pos_state = restore_into(pos_state, saved["pos_state"])
         if gan is not None and "gen_state" in saved:
             gan = gan._replace(
@@ -413,8 +421,9 @@ def video_mode_main(args, train_subjects: List[str]):
             s911p1_best = h36m["p1"]
             save_ckpt(ckpt, run_dir, suffix="best_h36m_p1")
         if (summary.epoch + 1) % max(args.snapshot, 1) == 0:
-            save_ckpt(full_state_ckpt(now_epoch), run_dir,
-                      suffix="resume_latest")
+            from dhaug_tpu.utils.checkpoint import save_snapshot
+            save_snapshot(full_state_ckpt(now_epoch), run_dir,
+                          suffix="resume_latest", fmt=args.ckpt_format)
         summary.epoch += 1
 
     if args.record_all_picture and summary.epoch_scalar_history:

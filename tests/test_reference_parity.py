@@ -2100,3 +2100,203 @@ class TestPosenetUpdateParity:
         assert _tree_max_diff(state.params, p0) > 1e-6
 
     _torch_flip = staticmethod(TestUpdateDynamicsParity._torch_flip)
+
+
+class TestEvalProtocolParity:
+    """Execution-level parity for the EVALUATION LOOPS (round-3 VERDICT
+    missing #1): the reference's actual evaluate/evaluate_posenet
+    (function_aug/model_pos_eval.py:16,93) and
+    video_mode_evaluate(_posenet) (video_mode_operate.py:769,865) run with
+    transplanted weights on identical data, and their published-protocol
+    aggregates (P1/P2/PCK/AUC) must match the rebuild's scan-eval and
+    whole-sequence eval.  Pins:
+
+      * the num_poses-weighted AverageMeter aggregation across a PARTIAL
+        final batch (single-frame: frame weighting);
+      * flip-averaged inference applied to the 3DHP flavour only;
+      * the video whole-sequence protocol: UnchunkedGenerator batch=1 with
+        receptive-field edge padding, where num_poses == 1 makes every
+        camera sequence count EQUALLY regardless of frame count (the
+        sequences here have different lengths so frame- and
+        sequence-weighted answers genuinely differ);
+      * the model_pos -> model_pos_eval load_state_dict hop (strided train
+        twin's weights into the dilated eval twin in video mode).
+    """
+
+    TOL_MM = 1e-3  # VERDICT acceptance: all four paths agree <= 1e-3 mm
+
+    def _ref_mlp_pair(self, rng):
+        import importlib
+        ref_mlp_mod = importlib.import_module(
+            "models_baseline.mlp.linear_model")
+        torch.manual_seed(50)
+        model_pos = ref_mlp_mod.LinearModel(16 * 2, 15 * 3, linear_size=64,
+                                            num_stage=2, p_dropout=0.0)
+        for mod in model_pos.modules():
+            if isinstance(mod, torch.nn.BatchNorm1d):
+                mod.running_mean.copy_(torch.from_numpy(rng.normal(
+                    scale=0.2, size=mod.num_features).astype(np.float32)))
+                mod.running_var.copy_(torch.from_numpy(rng.uniform(
+                    0.5, 1.5, mod.num_features).astype(np.float32)))
+        model_pos.eval()
+        # a separate eval copy, populated by evaluate_posenet's
+        # load_state_dict (model_pos_eval.py:100)
+        model_pos_eval = ref_mlp_mod.LinearModel(16 * 2, 15 * 3,
+                                                 linear_size=64, num_stage=2,
+                                                 p_dropout=0.0)
+        model_pos_eval.eval()
+        return model_pos, model_pos_eval
+
+    @staticmethod
+    def _loader(t3d, t2d, batch_size):
+        from torch.utils.data import DataLoader, TensorDataset
+        return DataLoader(TensorDataset(torch.from_numpy(t3d.copy()),
+                                        torch.from_numpy(t2d.copy())),
+                          batch_size=batch_size, shuffle=False)
+
+    def test_single_frame_eval_protocol(self, ref):
+        """evaluate_posenet end to end: H36M without flip, 3DHP with flip
+        averaging + PCK/AUC, partial final batches on both sets."""
+        import importlib
+
+        from dhaug_tpu.models.posenets import LinearModel
+        from dhaug_tpu.train.posenet import evaluate_scan, make_eval_epoch_fn
+        mpe = importlib.import_module("function_aug.model_pos_eval")
+
+        rng = np.random.RandomState(51)
+        model_pos, model_pos_eval = self._ref_mlp_pair(rng)
+
+        B = 8
+        # frame counts NOT divisible by B: the AverageMeter's num_poses
+        # weighting of the short final batch is load-bearing
+        n_h36m, n_dhp = 37, 29
+        h36m_2d = rng.normal(size=(n_h36m, 16, 2)).astype(np.float32) * 0.3
+        h36m_3d = (rng.normal(size=(n_h36m, 16, 3)).astype(np.float32) * 0.3
+                   + rng.uniform(-1, 1, (n_h36m, 1, 3)).astype(np.float32))
+        dhp_2d = rng.normal(size=(n_dhp, 16, 2)).astype(np.float32) * 0.3
+        dhp_3d = (rng.normal(size=(n_dhp, 16, 3)).astype(np.float32) * 0.3
+                  + rng.uniform(-1, 1, (n_dhp, 1, 3)).astype(np.float32))
+
+        data_dict = {"H36M_test": self._loader(h36m_3d, h36m_2d, B),
+                     "mpi3d_loader": self._loader(dhp_3d, dhp_2d, B)}
+        with torch.no_grad():
+            (exp_h36m_p1, exp_h36m_p2, exp_dhp_p1, exp_dhp_p2, exp_pck,
+             exp_auc) = mpe.evaluate_posenet(
+                None, data_dict, model_pos, model_pos_eval,
+                torch.device("cpu"), None, None, tag="", get_pck_auc=True)
+
+        mine = LinearModel(linear_size=64, num_stage=2, dropout=0.0)
+        variables = mine.init({"params": jax.random.PRNGKey(0),
+                               "dropout": jax.random.PRNGKey(1)},
+                              jnp.zeros((2, 16, 2)), train=False)
+        params, stats = variables["params"], variables["batch_stats"]
+        _transplant_mlp(model_pos, params, stats)
+
+        eval_fn = make_eval_epoch_fn(mine, flip=False)
+        got_h36m = evaluate_scan(eval_fn, params, stats,
+                                 jnp.asarray(h36m_2d), jnp.asarray(h36m_3d),
+                                 batch_size=B)
+        eval_fn_flip = make_eval_epoch_fn(mine, flip=True)
+        got_dhp = evaluate_scan(eval_fn_flip, params, stats,
+                                jnp.asarray(dhp_2d), jnp.asarray(dhp_3d),
+                                batch_size=B)
+
+        assert abs(got_h36m["p1"] - exp_h36m_p1) < self.TOL_MM
+        assert abs(got_h36m["p2"] - exp_h36m_p2) < self.TOL_MM
+        assert abs(got_dhp["p1"] - exp_dhp_p1) < self.TOL_MM
+        assert abs(got_dhp["p2"] - exp_dhp_p2) < self.TOL_MM
+        assert abs(got_dhp["pck"] - exp_pck) < self.TOL_MM
+        assert abs(got_dhp["auc"] - exp_auc) < self.TOL_MM
+
+    def test_video_whole_sequence_eval_protocol(self, ref):
+        """video_mode_evaluate_posenet end to end on variable-length
+        sequences: the strided training twin's weights hop into the dilated
+        eval twin, UnchunkedGenerator pads each sequence by the receptive
+        field, and every sequence counts once (num_poses == 1)."""
+        import importlib
+        import types
+
+        from dhaug_tpu.data.chunked import UnchunkedSequences
+        from dhaug_tpu.models.posenets import TemporalPoseNet
+        from dhaug_tpu.train.posenet import (evaluate_sequences,
+                                             make_posenet_eval_step)
+        from dhaug_tpu.train.video_runner import _video_eval_batches
+        vmo = importlib.import_module("models_Fk_GAN.video_mode_operate")
+        mf = importlib.import_module("models_Fk_GAN.mulit_farme_videopose")
+
+        torch.manual_seed(52)
+        rng = np.random.RandomState(53)
+        model_pos = mf.multiFrame_TemporalModelOptimized1f(
+            16, 2, 16, [3, 3], dropout=0.0, channels=64)
+        _randomize_bn_stats(model_pos, rng)
+        model_pos.eval()
+        model_pos_eval = mf.multiFrame_TemporalModel(
+            16, 2, 16, [3, 3], dropout=0.0, channels=64)
+        model_pos_eval.eval()
+
+        rf = 9
+        pad = (rf - 1) // 2
+        # DIFFERENT lengths: frame-weighted vs sequence-weighted aggregation
+        # genuinely disagree here, so the weighting itself is pinned
+        h36m_lens, dhp_lens = [19, 31, 13], [23, 11]
+
+        def make_seqs(lens):
+            s3, s2 = [], []
+            for n in lens:
+                s2.append(rng.normal(size=(n, 16, 2)).astype(np.float32) * 0.3)
+                s3.append((rng.normal(size=(n, 16, 3)).astype(np.float32) * 0.3
+                           + rng.uniform(-1, 1, (n, 1, 3)).astype(np.float32)))
+            return s3, s2
+
+        h36m_3d, h36m_2d = make_seqs(h36m_lens)
+        dhp_3d, dhp_2d = make_seqs(dhp_lens)
+
+        args = types.SimpleNamespace(posenet_name="mulit_farme_videopose",
+                                     architecture="3,3")
+        data_dict = {
+            "H36M_test": vmo.UnchunkedGenerator(None, h36m_3d, h36m_2d,
+                                                pad=pad, augment=False),
+            "mpi3d_loader": vmo.UnchunkedGenerator(None, dhp_3d, dhp_2d,
+                                                   pad=pad, augment=False),
+        }
+        with torch.no_grad():
+            (exp_h36m_p1, exp_h36m_p2, exp_dhp_p1, exp_dhp_p2, exp_pck,
+             exp_auc) = vmo.video_mode_evaluate_posenet(
+                args, data_dict, model_pos, model_pos_eval,
+                torch.device("cpu"), None, None, tag="", get_pck_auc=True)
+
+        # my dilated eval twin carries the strided twin's weights, exactly
+        # like the load_state_dict hop above
+        mine = TemporalPoseNet(filter_widths=(3, 3), out_joints=16,
+                               channels=64, strided=False, dropout=0.0)
+        variables = mine.init({"params": jax.random.PRNGKey(0),
+                               "dropout": jax.random.PRNGKey(1)},
+                              jnp.zeros((1, rf, 16, 2)), train=False)
+        params, stats = variables["params"], variables["batch_stats"]
+        _transplant_temporal(model_pos, params, stats, n_blocks=1)
+        forward, flip_forward = make_posenet_eval_step(mine)
+
+        h36m_loader = UnchunkedSequences(None, h36m_3d, h36m_2d, pad=pad)
+        dhp_loader = UnchunkedSequences(None, dhp_3d, dhp_2d, pad=pad)
+        got_h36m = evaluate_sequences(
+            forward, params, stats,
+            _video_eval_batches(h36m_loader, batch_size=4, rf=rf))
+        got_dhp = evaluate_sequences(
+            forward, params, stats,
+            _video_eval_batches(dhp_loader, batch_size=4, rf=rf),
+            flip_forward=flip_forward)
+
+        assert abs(got_h36m["p1"] - exp_h36m_p1) < self.TOL_MM
+        assert abs(got_h36m["p2"] - exp_h36m_p2) < self.TOL_MM
+        assert abs(got_dhp["p1"] - exp_dhp_p1) < self.TOL_MM
+        assert abs(got_dhp["p2"] - exp_dhp_p2) < self.TOL_MM
+        assert abs(got_dhp["pck"] - exp_pck) < self.TOL_MM
+        assert abs(got_dhp["auc"] - exp_auc) < self.TOL_MM
+
+        # cross-check that the weighting really is load-bearing: the
+        # frame-weighted aggregate differs from the protocol number
+        from dhaug_tpu.train.posenet import evaluate as frame_weighted
+        fw = frame_weighted(forward, params, stats,
+                            _video_eval_batches(h36m_loader, batch_size=4,
+                                                rf=rf))
+        assert abs(fw["p1"] - exp_h36m_p1) > self.TOL_MM
