@@ -103,6 +103,33 @@ def make_h36m_npz(root_dir: str, n_frames_per_action: int = 120,
     return p3d, p2d
 
 
+def make_det_2d_npz(root_dir: str, keypoints: str = "cpn",
+                    noise_px: float = 3.0, seed: int = 3) -> str:
+    """Write data/data_2d_h36m_<keypoints>.npz — a synthetic DETECTED-2D
+    file: the GT pixel keypoints perturbed by Gaussian detector noise.
+
+    The reference's real workflow consumes detections from exactly such a
+    file (data_2d_h36m_<kp>.npz, utils/data_utils.py:11-23): the GAN trains
+    against re-projected GT while the posenet real pass trains on the
+    detections (special_operate.py:76-110 + dataloader_update.py:93-106).
+    Requires data_2d_h36m_gt.npz to exist (written by make_h36m_npz)."""
+    rng = np.random.default_rng(seed)
+    gt_path = os.path.join(root_dir, "data", "data_2d_h36m_gt.npz")
+    gt = np.load(gt_path, allow_pickle=True)["positions_2d"].item()
+    det = {}
+    for subject, actions in gt.items():
+        det[subject] = {}
+        for action, cams in actions.items():
+            det[subject][action] = [
+                (np.asarray(c, np.float32)
+                 + rng.normal(0.0, noise_px, np.asarray(c).shape)
+                 .astype(np.float32))
+                for c in cams]
+    path = os.path.join(root_dir, "data", f"data_2d_h36m_{keypoints}.npz")
+    np.savez_compressed(path, positions_2d=det)
+    return path
+
+
 def make_3dhp_npz(root_dir: str, n_frames: int = 2929, seed: int = 1):
     """Write data_extra/test_set/test_3dhp.npz: ('pose3d' (N,16,3) root-centred
     camera-space metres, 'pose2d' (N,16,2) normalized screen coords)."""
@@ -145,6 +172,9 @@ def ensure_synthetic_dataset(root_dir: str, n_frames_per_action: int = 120,
     p3d = os.path.join(root_dir, "data", "data_3d_h36m.npz")
     if not os.path.exists(p3d):
         make_h36m_npz(root_dir, n_frames_per_action, seed=seed)
+    det = os.path.join(root_dir, "data", "data_2d_h36m_cpn.npz")
+    if not os.path.exists(det):
+        make_det_2d_npz(root_dir, "cpn", seed=seed + 3)
     dhp = os.path.join(root_dir, "data_extra", "test_set", "test_3dhp.npz")
     if not os.path.exists(dhp):
         make_3dhp_npz(root_dir, seed=seed + 1)

@@ -53,7 +53,10 @@ def prepare_data(args, per_frame_cam: bool = True) -> DataBundle:
     frame pipeline needs."""
     root = args.data_root
     p3d = os.path.join(root, "data", f"data_3d_{args.dataset}.npz")
-    if getattr(args, "synthetic_data", False) and not os.path.exists(p3d):
+    if getattr(args, "synthetic_data", False):
+        # per-file no-op when everything already exists (so a pre-seeded
+        # fixture dir only gains the pieces it is missing, e.g. the
+        # detected-2D file for --keypoints cpn)
         from dhaug_tpu.data.synthetic import ensure_synthetic_dataset
         ensure_synthetic_dataset(root, seed=args.random_seed)
 

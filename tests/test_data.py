@@ -137,6 +137,71 @@ class TestSubjectSubsetFlags:
         assert len(prepare_data(args).poses_train) == 5 * n_seq_all
 
 
+class TestDetectionKeypoints:
+    """The detected-2D workflow (--keypoints cpn): the reference's real
+    pipeline loads data_2d_h36m_<kp>.npz detections (utils/data_utils.py:
+    11-23); the posenet real pass consumes those detections while the GAN
+    trains against re-projected GT — after dataloader_update the gt/target
+    loaders carry projections of the re-skinned 3D and only train_det2d3d
+    keeps the loaded detections (special_operate.py:76-110,
+    dataloader_update.py:93-106)."""
+
+    def test_det_fixture_differs_from_gt_by_noise(self, data_root):
+        gt = np.load(os.path.join(data_root, "data", "data_2d_h36m_gt.npz"),
+                     allow_pickle=True)["positions_2d"].item()
+        det = np.load(os.path.join(data_root, "data", "data_2d_h36m_cpn.npz"),
+                      allow_pickle=True)["positions_2d"].item()
+        assert set(det) == set(gt)
+        a = np.asarray(gt["S1"]["Walking 1"][0])
+        b = np.asarray(det["S1"]["Walking 1"][0])
+        assert a.shape == b.shape
+        resid = b - a
+        assert 0.5 < np.std(resid) < 10.0       # pixel-scale detector noise
+        assert np.abs(resid).max() > 0.5
+
+    def test_det_gt_asymmetry_through_reskin(self, data_root):
+        from types import SimpleNamespace
+
+        import jax.numpy as jnp
+
+        from dhaug_tpu.gan.single_frame import reskin_dataset
+        from dhaug_tpu.ops.camera import project_to_2d
+        from dhaug_tpu.train.data_prep import prepare_data
+        args = SimpleNamespace(
+            data_root=data_root, dataset="h36m", keypoints="cpn", actions="*",
+            s1only=True, s1s5only=False, downsample=1, synthetic_data=False,
+            random_seed=0)
+        bundle = prepare_data(args)
+        det_2d_before = bundle.train_det2d3d.poses_2d.copy()
+
+        # at load both loaders carry the same (detected) 2D, like the
+        # reference's twin DataLoaders over one fetch
+        np.testing.assert_allclose(bundle.train_gt2d3d.poses_2d,
+                                   det_2d_before)
+
+        templates = np.load(os.path.join(
+            data_root, "data_extra", "bone_length_npy",
+            "hm36s15678_bl_templates.npy"))
+        rng = np.random.default_rng(0)
+        gt2d3d = reskin_dataset(bundle.train_gt2d3d, templates, rng)
+
+        # the GAN-side loader now carries PROJECTED 2D of the re-skinned 3D…
+        proj = np.asarray(project_to_2d(
+            jnp.asarray(gt2d3d.poses_3d), jnp.asarray(gt2d3d.cams[:, :9])))
+        np.testing.assert_allclose(gt2d3d.poses_2d, proj, atol=1e-5)
+        # …which is NOT the detections (noise gone)
+        assert np.abs(gt2d3d.poses_2d - det_2d_before).max() > 1e-3
+        # …while the posenet real loader still carries the detections
+        np.testing.assert_allclose(bundle.train_det2d3d.poses_2d,
+                                   det_2d_before)
+        # eval 2D comes from the same detected file (normalized): it must
+        # differ from the projection of the eval 3D (GT would match)
+        h_proj = np.asarray(project_to_2d(
+            jnp.asarray(bundle.h36m_test.poses_3d),
+            jnp.asarray(bundle.h36m_test.cams[:, :9])))
+        assert np.abs(bundle.h36m_test.poses_2d - h_proj).max() > 1e-3
+
+
 class TestSynthetic:
     def test_fixture_formats(self, data_root):
         d3 = np.load(os.path.join(data_root, "data", "data_3d_h36m.npz"),
