@@ -95,10 +95,10 @@ def single_frame_mode_main(args, bundle, train_subjects):
 
     # Full-state resume (the reference's --resume/--GAN_resume flags have no
     # load path, SURVEY.md §5; here the complete training state round-trips).
-    from dhaug_tpu.utils.checkpoint import load_ckpt, restore_into
+    from dhaug_tpu.utils.checkpoint import load_snapshot, restore_into
     resume_path = args.resume or args.GAN_resume
     if resume_path:
-        saved = load_ckpt(resume_path)
+        saved = load_snapshot(resume_path)
         pos_state = restore_into(pos_state, saved["pos_state"])
         if gan is not None and "gen_state" in saved:
             gan = gan._replace(
@@ -246,7 +246,9 @@ def single_frame_mode_main(args, bundle, train_subjects):
             save_ckpt(ckpt, run_dir, suffix="best_h36m_p1")
 
         if (summary.epoch + 1) % max(args.snapshot, 1) == 0:
-            save_ckpt(full_state_ckpt(now_epoch), run_dir, suffix="resume_latest")
+            from dhaug_tpu.utils.checkpoint import save_snapshot
+            save_snapshot(full_state_ckpt(now_epoch), run_dir,
+                          suffix="resume_latest", fmt=args.ckpt_format)
         summary.epoch += 1
 
     if args.record_all_picture and summary.epoch_scalar_history:

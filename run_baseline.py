@@ -36,7 +36,7 @@ def main(argv=None):
                                          make_run_dir)
     from dhaug_tpu.train.state import (adam_posenet, make_state,
                                        set_learning_rate, step_exp_lr)
-    from dhaug_tpu.utils.checkpoint import save_ckpt
+    from dhaug_tpu.utils.checkpoint import save_snapshot
 
     np_rng = np.random.default_rng(args.random_seed)
     key = jax.random.PRNGKey(args.random_seed)
@@ -103,12 +103,12 @@ def main(argv=None):
                 "posenet_name": args.posenet_name}
         if best_h36m is None or h36m["p1"] < best_h36m:
             best_h36m = h36m["p1"]
-            save_ckpt(ckpt, run_dir, suffix="best")
+            save_snapshot(ckpt, run_dir, suffix="best", fmt=args.ckpt_format)
         if best_dhp is None or dhp["p1"] < best_dhp:
             best_dhp = dhp["p1"]
-            save_ckpt(ckpt, run_dir, suffix="best_dhp_p1")
+            save_snapshot(ckpt, run_dir, suffix="best_dhp_p1", fmt=args.ckpt_format)
         if (epoch + 1) % max(args.snapshot, 1) == 0:
-            save_ckpt(ckpt, run_dir)
+            save_snapshot(ckpt, run_dir, suffix="epoch_{:04d}".format(epoch + 1), fmt=args.ckpt_format)
         summary.epoch += 1
 
     logger.close()

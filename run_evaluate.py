@@ -32,9 +32,9 @@ def main(argv=None):
 
     from dhaug_tpu.models.factory import init_posenet, make_posenet
     from dhaug_tpu.train.posenet import evaluate, make_posenet_eval_step
-    from dhaug_tpu.utils.checkpoint import load_ckpt, restore_into
+    from dhaug_tpu.utils.checkpoint import load_snapshot, restore_into
 
-    ckpt = load_ckpt(args.evaluate)
+    ckpt = load_snapshot(args.evaluate)
     # older checkpoints stored the name as a 0-d numpy str array
     posenet_name = str(ckpt.get("posenet_name", args.posenet_name))
     video = posenet_name.startswith("mulit_farme")
