@@ -195,12 +195,13 @@ def run_gan_epoch(gan: GanBundle, gt2d3d: PoseDataset, target_2d: PoseTarget,
 
     gen_in, d3d_in, d2d_in = gan.gen_state, gan.d3d_state, gan.d2d_state
     if mesh is not None:
-        from dhaug_tpu.parallel.mesh import replicate, shard_index_rows
+        from dhaug_tpu.parallel.mesh import (place_state, replicate,
+                                             shard_index_rows)
         dev_3d, dev_cam, dev_t2d = (replicate(mesh, x)
                                     for x in (dev_3d, dev_cam, dev_t2d))
         idx_real = shard_index_rows(mesh, idx_real)
         idx_t2d = shard_index_rows(mesh, idx_t2d)
-        gen_in, d3d_in, d2d_in = (replicate(mesh, s)
+        gen_in, d3d_in, d2d_in = (place_state(mesh, s)
                                   for s in (gen_in, d3d_in, d2d_in))
 
     key, k_epoch = jax.random.split(key)

@@ -443,9 +443,9 @@ def run_video_gan_epoch(gan: VideoGanBundle, gan_loader, batch_size: int,
     # user never silently gets one chip): states replicated once, each
     # per-batch clip sharded over 'data' below.
     if mesh is not None:
-        from dhaug_tpu.parallel.mesh import replicate
+        from dhaug_tpu.parallel.mesh import place_state
         gen_state, d3d_state, d2d_state, md3d_state, md2d_state = (
-            replicate(mesh, s) for s in
+            place_state(mesh, s) for s in
             (gen_state, d3d_state, d2d_state, md3d_state, md2d_state))
 
     # device-resident windows when the loader supports them (ChunkWindows)
@@ -540,12 +540,13 @@ def _run_video_gan_epoch_scan(gan: VideoGanBundle, loader, batch_size: int,
     states_in = (gan.gen_state, gan.d3d_state, gan.d2d_state,
                  gan.md3d_state, gan.md2d_state)
     if mesh is not None:
-        from dhaug_tpu.parallel.mesh import replicate, shard_index_rows
+        from dhaug_tpu.parallel.mesh import (place_state, replicate,
+                                             shard_index_rows)
         big3d, big2d, cams = (replicate(mesh, x) for x in (big3d, big2d, cams))
         start3d = shard_index_rows(mesh, start3d)
         start2d = shard_index_rows(mesh, start2d)
         cam_sel = shard_index_rows(mesh, cam_sel)
-        states_in = tuple(replicate(mesh, s) for s in states_in)
+        states_in = tuple(place_state(mesh, s) for s in states_in)
 
     key, k_epoch = jax.random.split(key)
     (gen_state, d3d_state, d2d_state, md3d_state, md2d_state, outs) = \

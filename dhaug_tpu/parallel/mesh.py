@@ -78,24 +78,28 @@ def shard_index_rows(mesh: Mesh, arr):
 
 
 def mesh_from_args(args) -> Optional[Mesh]:
-    """Build the 1-D data mesh requested by --data_parallel_devices (0/1 =
-    single device, no mesh).  Validates device count and batch divisibility
-    up front so a user asking for 8 chips can never silently get 1."""
-    n = int(getattr(args, "data_parallel_devices", 0) or 0)
-    if n <= 1:
+    """Build the (data, model) mesh requested by --data_parallel_devices /
+    --model_parallel_devices (both 0/1 = single device, no mesh).  Validates
+    device count and batch divisibility up front so a user asking for 8
+    chips can never silently get 1."""
+    n_data = int(getattr(args, "data_parallel_devices", 0) or 0)
+    n_model = int(getattr(args, "model_parallel_devices", 0) or 0)
+    n_data, n_model = max(n_data, 1), max(n_model, 1)
+    if n_data * n_model <= 1:
         return None
     devs = jax.devices()
-    if len(devs) < n:
+    total = n_data * n_model
+    if len(devs) < total:
         raise SystemExit(
-            f"--data_parallel_devices {n} requested but only {len(devs)} "
-            f"JAX device(s) are visible on platform "
-            f"'{devs[0].platform}'")
-    if args.batch_size % n != 0:
+            f"--data_parallel_devices {n_data} x --model_parallel_devices "
+            f"{n_model} requests {total} devices but only {len(devs)} JAX "
+            f"device(s) are visible on platform '{devs[0].platform}'")
+    if args.batch_size % n_data != 0:
         raise SystemExit(
             f"--batch_size {args.batch_size} is not divisible by "
-            f"--data_parallel_devices {n}")
-    mesh = make_mesh(n, model_axis=1)
-    print(f"==> Data-parallel mesh: {n} x {devs[0].platform} "
+            f"--data_parallel_devices {n_data}")
+    mesh = make_mesh(total, model_axis=n_model)
+    print(f"==> Parallel mesh: {total} x {devs[0].platform} "
           f"({dict(mesh.shape)})")
     return mesh
 
@@ -106,10 +110,27 @@ def shard_params_tp(mesh: Mesh, params, min_width: int = 512):
     propagates these shardings through the matmuls and inserts the
     collectives."""
     def place(path, x):
-        if x.ndim >= 1 and x.shape[-1] >= min_width and x.shape[-1] % mesh.shape["model"] == 0:
+        if getattr(x, "ndim", 0) >= 1 and x.shape[-1] >= min_width \
+                and x.shape[-1] % mesh.shape["model"] == 0:
             spec = P(*([None] * (x.ndim - 1) + ["model"]))
         else:
             spec = P()
-        return jax.device_put(x, NamedSharding(mesh, spec))
+        return _put(x, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map_with_path(place, params)
+
+
+# Dense widths >= this shard over 'model'; the production nets' wide layers
+# are 1000-4096 (Gen_DenseDim/Dis_DenseDim defaults and the posenet MLP's
+# 1024), narrow glue layers (<=100) stay replicated.
+TP_MIN_WIDTH = 512
+
+
+def place_state(mesh: Mesh, tree, min_width: int = TP_MIN_WIDTH):
+    """Mesh placement for a net/optimizer state pytree: pure data
+    parallelism replicates everything; with a non-unit 'model' axis the wide
+    Dense kernels/biases (and their Adam moments, which share shapes) shard
+    over 'model' so GSPMD partitions the matmuls (tensor parallelism)."""
+    if mesh.shape.get("model", 1) == 1:
+        return replicate(mesh, tree)
+    return shard_params_tp(mesh, tree, min_width=min_width)

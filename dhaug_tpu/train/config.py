@@ -40,6 +40,11 @@ def _add_common(parser: argparse.ArgumentParser):
     parser.add_argument("--s1only", default=False, type=_str2bool)
     parser.add_argument("--num_workers", default=0, type=int, metavar="N",
                         help="accepted for CLI compatibility; the host feed is single-process")
+    parser.add_argument("--model_parallel_devices", default=1, type=int,
+                        help="shard Dense layers wider than 512 over a "
+                             "'model' mesh axis (tensor parallelism); "
+                             "composes with --data_parallel_devices into a "
+                             "(data, model) mesh of data*model devices")
     parser.add_argument("--ckpt_format", default="pickle", type=str,
                         choices=("pickle", "orbax"),
                         help="full-state snapshot format: 'pickle' (one "

@@ -181,10 +181,11 @@ def train_epoch_scan(epoch_fn, state: NetState, poses_2d, poses_3d,
     idx = jnp.asarray(idx.reshape(n_batches, batch_size))
     dev2d, dev3d = jnp.asarray(poses_2d), jnp.asarray(poses_3d)
     if mesh is not None:
-        from dhaug_tpu.parallel.mesh import replicate, shard_index_rows
+        from dhaug_tpu.parallel.mesh import (place_state, replicate,
+                                             shard_index_rows)
         dev2d, dev3d = replicate(mesh, dev2d), replicate(mesh, dev3d)
         idx = shard_index_rows(mesh, idx)
-        state = replicate(mesh, state)
+        state = place_state(mesh, state)
     state, loss = epoch_fn(state, dev2d, dev3d, idx, key)
     return state, float(loss)
 
@@ -273,9 +274,10 @@ def evaluate_scan(eval_fn, params, batch_stats, dev2d, dev3d,
     idx = np.minimum(np.arange(pad_to), n - 1)     # edge-pad with last frame
     idx = jnp.asarray(idx.reshape(n_batches, batch_size))
     if mesh is not None and batch_size % mesh.shape["data"] == 0:
-        from dhaug_tpu.parallel.mesh import replicate, shard_index_rows
+        from dhaug_tpu.parallel.mesh import (place_state, replicate,
+                                             shard_index_rows)
         dev2d, dev3d = replicate(mesh, dev2d), replicate(mesh, dev3d)
-        params = replicate(mesh, params)
+        params = place_state(mesh, params)
         if batch_stats:
             batch_stats = replicate(mesh, batch_stats)
         idx = shard_index_rows(mesh, idx)

@@ -240,8 +240,8 @@ def video_mode_main(args, train_subjects: List[str]):
     def eval_both():
         params, stats = pos_state.params, pos_state.batch_stats
         if eval_mesh is not None:
-            from dhaug_tpu.parallel.mesh import replicate
-            params = replicate(eval_mesh, params)
+            from dhaug_tpu.parallel.mesh import place_state, replicate
+            params = place_state(eval_mesh, params)
             if stats:
                 stats = replicate(eval_mesh, stats)
         h36m = eval_agg(forward, params, stats,
@@ -258,10 +258,11 @@ def video_mode_main(args, train_subjects: List[str]):
         --data_parallel_devices)."""
         if mesh is None:
             return arrays_rep, idx_rows, state
-        from dhaug_tpu.parallel.mesh import replicate, shard_index_rows
+        from dhaug_tpu.parallel.mesh import (place_state, replicate,
+                                             shard_index_rows)
         return (tuple(replicate(mesh, a) for a in arrays_rep),
                 tuple(shard_index_rows(mesh, i) for i in idx_rows),
-                replicate(mesh, state))
+                place_state(mesh, state))
 
     def train_on_fakes(state, fakes, key):
         """Fake clips: full-clip 2D input, centre-frame 3D target
