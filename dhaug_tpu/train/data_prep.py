@@ -59,6 +59,12 @@ def prepare_data(args, per_frame_cam: bool = True) -> DataBundle:
         # detected-2D file for --keypoints cpn)
         from dhaug_tpu.data.synthetic import ensure_synthetic_dataset
         ensure_synthetic_dataset(root, seed=args.random_seed)
+    else:
+        # real data: preflight units/shapes/normalization BEFORE any
+        # accelerator work (a wrong-unit npz otherwise wastes a multi-hour
+        # run); raises DataValidationError with an actionable message
+        from dhaug_tpu.data.validate import validate_dataset_dir
+        validate_dataset_dir(root, getattr(args, "keypoints", "gt"))
 
     if args.dataset != "h36m":
         raise KeyError("Invalid dataset")
