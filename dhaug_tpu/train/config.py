@@ -145,6 +145,13 @@ def get_baseline_parser() -> argparse.ArgumentParser:
                              "(N,16,2 normalized): adds a 3DPW cross-dataset "
                              "evaluation to run_evaluate (the reference's "
                              "--Path_3DPW is dead code)")
+    parser.add_argument("--train_npz", default="", type=str,
+                        help="train on a synthesized (2D, 3D) dataset npz "
+                             "(scripts/synthesize_dataset.py output: pose3d "
+                             "cam-space metres, pose2d normalized, cam "
+                             "intrinsics) instead of the real H36M train "
+                             "split — the DH-3DHP workflow; evaluation "
+                             "stays on H36M S9/S11 + 3DHP")
     parser.add_argument("--lr", default=1.0e-3, type=float, metavar="LR")
     parser.add_argument("--lr_decay", type=int, default=100000)
     parser.add_argument("--lr_gamma", type=float, default=0.96)

@@ -67,14 +67,31 @@ def main(argv=None):
     eval_both = make_eval_both_scan(model, bundle, args.batch_size,
                                     mesh=mesh)
     # the train split is static: upload once for every epoch's index gathers
-    dev2d = jnp.asarray(bundle.train_det2d3d.poses_2d)
-    dev3d = jnp.asarray(bundle.train_det2d3d.poses_3d)
+    if getattr(args, "train_npz", ""):
+        # DH-3DHP workflow: train on a synthesized dataset
+        # (scripts/synthesize_dataset.py), evaluate on the real sets
+        synth = np.load(args.train_npz)
+        for key_name in ("pose3d", "pose2d"):
+            if key_name not in synth:
+                raise SystemExit(
+                    f"--train_npz {args.train_npz} is missing '{key_name}' "
+                    "(expected a scripts/synthesize_dataset.py output)")
+        print(f"==> Training on synthesized dataset {args.train_npz}: "
+              f"{synth['pose3d'].shape[0]} poses")
+        dev2d = jnp.asarray(synth["pose2d"].astype(np.float32))
+        dev3d = jnp.asarray(synth["pose3d"].astype(np.float32))
+        n_train = dev2d.shape[0]
+    else:
+        dev2d = jnp.asarray(bundle.train_det2d3d.poses_2d)
+        dev3d = jnp.asarray(bundle.train_det2d3d.poses_3d)
+        n_train = None
 
     run_dir = make_run_dir(args)
     print(f"==> Saving to {run_dir}")
     logger, summary = make_logger(run_dir, args)
 
-    steps_per_epoch = bundle.train_det2d3d.num_batches(args.batch_size)
+    steps_per_epoch = (n_train // args.batch_size) if n_train is not None \
+        else bundle.train_det2d3d.num_batches(args.batch_size)
     best_h36m = None
     best_dhp = None
     for epoch in range(args.epochs):

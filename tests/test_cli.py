@@ -120,6 +120,10 @@ def test_bench_json_contract(workdir):
     # mfu_est is rounded to 6 dp and may round to 0.0 on a slow CPU run with
     # the scaled-down shapes — assert non-negative + the raw timing instead
     assert gan["mfu_est"] >= 0 and gan["mfu_est"] < 1
+    # both MFU figures ride the artifact: the hand-counted lower bound and
+    # the XLA-counted number (round-3 VERDICT weak #1)
+    assert gan["mfu_lower_bound"] == gan["mfu_est"]
+    assert gan["mfu_xla"] >= 0
     assert gan["ms_per_iter"] > 0
 
 
@@ -172,6 +176,57 @@ def test_fk_gan_resume_roundtrip(workdir):
                  "--posenet_name", "mlp", "--stages", "1", *COMMON)
     assert p3.returncode == 0, p3.stderr[-2000:]
     assert "H36M" in p3.stdout
+
+
+@pytest.mark.slow
+def test_synthesize_dataset_roundtrip(workdir):
+    """DH-3DHP round trip (round-3 VERDICT next-step 8): synthesize a
+    dataset with scripts/synthesize_dataset.py, contract-check its schema,
+    and train a posenet from it end to end via run_baseline --train_npz."""
+    out = os.path.join(workdir, "dh_synth.npz")
+    proc = run_cli("scripts/synthesize_dataset.py", "--n_poses", "2000",
+                   "--batch", "512", "--out", out, "--random_init", "true",
+                   "--Gen_DenseDim", "64", "--jax_platform", "cpu")
+    assert proc.returncode == 0, proc.stderr[-2000:]
+
+    # schema contract: keys, shapes, dtypes, finiteness, provenance fields,
+    # and 2D == project(3D, cam) consistency
+    import jax.numpy as jnp
+
+    from dhaug_tpu.ops.camera import project_to_2d
+    synth = np.load(out)
+    assert set(synth.files) >= {"pose3d", "pose2d", "cam", "seed",
+                                "n_devices"}
+    n = synth["pose3d"].shape[0]
+    assert n == 2000
+    assert synth["pose3d"].shape == (n, 16, 3)
+    assert synth["pose2d"].shape == (n, 16, 2)
+    assert synth["cam"].shape == (n, 9)
+    for k in ("pose3d", "pose2d", "cam"):
+        assert synth[k].dtype == np.float32
+        assert np.isfinite(synth[k]).all(), k
+    assert int(synth["seed"]) == 0 and int(synth["n_devices"]) >= 1
+    # poses human-scale (metres).  NB depth is NOT asserted positive: a
+    # random-init generator roots poses anywhere in tanh x 10 m, and the
+    # reference's clamped perspective divide (common/camera.py:85) projects
+    # behind-camera points too — plausibility comes from GAN training.
+    spans = np.linalg.norm(synth["pose3d"].max(1) - synth["pose3d"].min(1),
+                           axis=-1)
+    assert 0.2 < np.median(spans) < 8.0
+    proj = np.asarray(project_to_2d(jnp.asarray(synth["pose3d"][:64]),
+                                    jnp.asarray(synth["cam"][:64])))
+    np.testing.assert_allclose(proj, synth["pose2d"][:64], atol=1e-4)
+
+    # the synthesized npz passes the preflight gates a training run applies
+    proc2 = run_cli("run_baseline.py", "--posenet_name", "mlp",
+                    "--train_npz", out, "--epochs", "2", "--stages", "1",
+                    "--checkpoint", os.path.join(workdir, "synth_train"),
+                    *COMMON)
+    assert proc2.returncode == 0, proc2.stderr[-2000:]
+    assert "Training on synthesized dataset" in proc2.stdout
+    import re
+    best = re.search(r"Best H36M P1: ([\d.]+)", proc2.stdout)
+    assert best and float(best.group(1)) > 0
 
 
 @pytest.mark.slow
