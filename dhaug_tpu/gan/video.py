@@ -301,7 +301,11 @@ def make_video_steps(gen_apply, d3d_apply, d2d_apply, md3d_apply, md2d_apply,
         intr = jnp.broadcast_to(intrs[cam_idx][None], (B * F, 9))
 
         def loss_fn(params):
+            # custom_vjp FK: the video generator update runs the fused
+            # kernel too (hand-derived backward, tests/test_fk_pallas.py)
             fake_world = synth_fake(params, bone_len, key,
+                                    use_pallas=(hyper.use_pallas_fk and
+                                                hyper.use_pallas_fk_grad),
                                     noise=noise, scaler8=scaler8)  # (B,F,16,3)
             fake_cam3d = world_to_camera_batch(
                 fake_world.reshape((B * F, 16, 3)), q, t)

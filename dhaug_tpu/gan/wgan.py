@@ -58,6 +58,12 @@ class GanHyper(NamedTuple):
     # (pass mesh to make_single_frame_steps); pallas_interpret runs it in
     # interpreter mode for CPU test meshes / the multi-chip dryrun.
     use_pallas_fk: bool = False
+    # Run the GENERATOR update's FK on the fused kernel too (custom_vjp with
+    # the hand-derived backward kernel, ops/fk_pallas.py).  Separate toggle
+    # so the stop-gradient critic-fake path and the gradient path can be
+    # A/B'd independently (scripts/bench_fk_grad_ab.py); only consulted when
+    # use_pallas_fk is on.
+    use_pallas_fk_grad: bool = True
     pallas_interpret: bool = False
 
 
@@ -287,7 +293,12 @@ def make_single_frame_steps(gen_apply, d3d_apply, d2d_apply,
                                 (bone_len.shape[0], 9))
 
         def loss_fn(params):
+            # the fused FK now carries a custom_vjp (hand-derived backward
+            # kernel), so the GENERATOR update runs it too — previously only
+            # the stop-gradient critic fakes could
             fake_world = synth_fake(params, bone_len, key,
+                                    use_pallas=(hyper.use_pallas_fk and
+                                                hyper.use_pallas_fk_grad),
                                     noise=noise, scaler8=scaler8)
             fake_cam3d = world_to_camera_batch(fake_world, q, t)
             fake_2d = project_to_2d(fake_cam3d, intr)

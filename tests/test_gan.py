@@ -215,6 +215,49 @@ class TestSingleFrameSteps:
             np.testing.assert_allclose(float(outs[True][-1][k]), float(v),
                                        rtol=1e-4, atol=1e-5, err_msg=k)
 
+    def test_pallas_fk_generator_update_matches_xla(self):
+        """With the custom_vjp fused FK the GENERATOR update runs the Pallas
+        kernel too (round-3 VERDICT missing #3): same noise/scaler/camera,
+        the resulting parameter update must match the XLA-FK update to
+        kernel precision (the hand-derived backward is gradchecked in
+        tests/test_fk_pallas.py; this pins the production wiring)."""
+        B = 8
+        bone_len = jnp.broadcast_to(
+            jnp.asarray(np.linspace(0.2, 0.6, 15), jnp.float32), (B, 15))
+        noise = jax.random.normal(jax.random.PRNGKey(11), (B, 128))
+        scaler8 = jnp.zeros((B, 8), jnp.float32)
+
+        results = {}
+        for use_pallas in (False, True):
+            gen_cfg = GeneratorConfig(dense_dim=32)
+            hyper = GanHyper(flip=True, use_pallas_fk=use_pallas,
+                             pallas_interpret=True)
+            gen = FkGeneratorNet(gen_cfg)
+            d3d = Fk3DDiscriminator(dense_dim=32)
+            d2d = Fk2DDiscriminator(dense_dim=32)
+            gp = gen.init(KEY, jnp.zeros((2, 128)))["params"]
+            p3 = d3d.init(KEY, jnp.zeros((2, 16, 3)))["params"]
+            p2 = d2d.init(KEY, jnp.zeros((2, 16, 2)))["params"]
+            txs = [adam_gan() for _ in range(3)]
+            quats, trans, intrs = camera_bank(["S1"])
+            steps = make_single_frame_steps(
+                lambda p, x: gen.apply({"params": p}, x),
+                lambda p, x: d3d.apply({"params": p}, x),
+                lambda p, x: d2d.apply({"params": p}, x),
+                txs[0], txs[1], txs[2], gen_cfg, hyper, quats, trans, intrs)
+            state, gm = steps.generator_step(
+                make_state(txs[2], gp), p3, p2, bone_len,
+                jnp.asarray(0, jnp.int32), KEY, noise=noise, scaler8=scaler8)
+            results[use_pallas] = (state.params, float(gm["g_cost"]))
+
+        assert abs(results[True][1] - results[False][1]) < 1e-4
+        # CLAUDE.md: Adam amplifies near-zero-grad noise to O(lr)=1e-4 on
+        # dead units, so compare updates at that scale
+        for a, b in zip(jax.tree.leaves(results[True][0]),
+                        jax.tree.leaves(results[False][0])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-4)
+
 
 class TestEpochScan:
     def _build(self):
