@@ -392,7 +392,8 @@ def test_baseline_data_parallel_matches_single_device(workdir):
             capture_output=True, text=True, timeout=560, cwd=REPO, env=env)
         assert proc.returncode == 0, proc.stderr[-2000:]
         if ndev > 1:
-            assert "Data-parallel mesh: 8" in proc.stdout
+            assert "Parallel mesh: 8 x" in proc.stdout
+            assert "'data': 8" in proc.stdout
         results[ndev] = float(
             re.search(r"Best H36M P1: ([\d.]+)", proc.stdout).group(1))
     np.testing.assert_allclose(results[8], results[1], rtol=2e-3)
@@ -438,7 +439,8 @@ def test_fk_gan_data_parallel_runs(workdir):
          "--checkpoint", os.path.join(workdir, "gandp"), *COMMON],
         capture_output=True, text=True, timeout=560, cwd=REPO, env=env)
     assert proc.returncode == 0, proc.stderr[-2000:]
-    assert "Data-parallel mesh: 8" in proc.stdout
+    assert "Parallel mesh: 8 x" in proc.stdout
+    assert "'data': 8" in proc.stdout
     import re
     m = re.findall(r"H36M P1 ([\d.]+)", proc.stdout)
     assert m and float(m[-1]) > 0
