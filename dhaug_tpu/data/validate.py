@@ -270,19 +270,26 @@ def validate_bone_templates(path: str,
 
 
 def validate_dataset_dir(root: str, keypoints: str = "gt",
-                         verbose: bool = True) -> dict:
+                         verbose: bool = True,
+                         require_templates: bool = True) -> dict:
     """Validate all input files under ``root``.  Called automatically by
     prepare_data when --synthetic_data is false; also the CLI entry
-    (scripts/validate_data.py)."""
+    (scripts/validate_data.py).
+
+    ``require_templates=False`` skips a MISSING bone-template asset (it is
+    consumed only by the GAN re-skin path, run_Fk_GAN.py — run_baseline /
+    run_evaluate never read it) but still validates one that is present."""
     d3_path = os.path.join(root, "data", "data_3d_h36m.npz")
     report = {"data_3d_h36m.npz": validate_3d_npz(d3_path)}
     p2 = os.path.join(root, "data", f"data_2d_h36m_{keypoints}.npz")
     report[os.path.basename(p2)] = validate_2d_npz(p2, d3_path)
     report["test_3dhp.npz"] = validate_3dhp_npz(
         os.path.join(root, "data_extra", "test_set", "test_3dhp.npz"))
-    report["hm36s15678_bl_templates.npy"] = validate_bone_templates(
-        os.path.join(root, "data_extra", "bone_length_npy",
-                     "hm36s15678_bl_templates.npy"), d3_path)
+    tmpl_path = os.path.join(root, "data_extra", "bone_length_npy",
+                             "hm36s15678_bl_templates.npy")
+    if require_templates or os.path.exists(tmpl_path):
+        report["hm36s15678_bl_templates.npy"] = validate_bone_templates(
+            tmpl_path, d3_path)
     if verbose:
         print("==> Preflight data validation passed:")
         for name, info in report.items():

@@ -590,13 +590,8 @@ def fk_world_pose_pallas_sharded(mesh, angles, bone_len, global_rot, root,
     # stays differentiable (custom_vjp transposes per shard)
     body = lambda a, b, g, r: fk_world_pose_pallas_vjp(a, b, g, r,
                                                        interpret=interpret)
-    kwargs = dict(mesh=mesh, in_specs=(spec, spec, spec, spec),
-                  out_specs=spec)
-    try:
-        from jax import shard_map  # jax >= 0.6
-        # the pallas_call's out_shape carries no vma info
-        fn = shard_map(body, check_vma=False, **kwargs)
-    except ImportError:  # pragma: no cover - older jax
-        from jax.experimental.shard_map import shard_map
-        fn = shard_map(body, check_rep=False, **kwargs)
+    from dhaug_tpu.parallel.mesh import shard_map_unchecked
+    fn = shard_map_unchecked(body, mesh=mesh,
+                             in_specs=(spec, spec, spec, spec),
+                             out_specs=spec)
     return fn(angles, bone_len, global_rot, root)

@@ -40,6 +40,25 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def shard_map_unchecked(fn, **kwargs):
+    """shard_map with replication checking off, across jax versions.
+
+    jax >= 0.6 exposes top-level ``jax.shard_map(check_vma=...)``; in the
+    0.4.35-0.5 transition window the top-level symbol exists but still takes
+    ``check_rep``, so feature-detect the kwarg instead of trusting the
+    import location.  Checking is disabled because pallas_call out_shapes
+    carry no vma info (ops/fk_pallas.py) and the sharded synthesis body is
+    deterministic per shard (parallel/sharded.py)."""
+    import inspect
+    try:
+        from jax import shard_map  # jax >= 0.6
+    except ImportError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map
+    if "check_vma" in inspect.signature(shard_map).parameters:
+        return shard_map(fn, check_vma=False, **kwargs)
+    return shard_map(fn, check_rep=False, **kwargs)  # pragma: no cover
+
+
 def _put(x, sh: NamedSharding):
     """device_put that skips arrays already laid out as requested — the
     per-epoch placement calls in the training loops must not re-broadcast

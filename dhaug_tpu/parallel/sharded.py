@@ -70,18 +70,5 @@ def make_sharded_synthesizer(gen_apply, gen_cfg: GeneratorConfig,
 
     spec_in = (P(), P("data"), P())
     kwargs = dict(mesh=mesh, in_specs=spec_in, out_specs=P("data"))
-    # jax >= 0.6 exposes top-level jax.shard_map(check_vma=...); in the
-    # 0.4.35-0.5 transition window the top-level symbol exists but still
-    # takes check_rep, so feature-detect the kwarg instead of trusting the
-    # import location
-    import inspect
-    try:
-        from jax import shard_map  # jax >= 0.6
-    except ImportError:  # pragma: no cover - older jax
-        from jax.experimental.shard_map import shard_map
-    params = inspect.signature(shard_map).parameters
-    if "check_vma" in params:
-        fn = shard_map(per_shard, check_vma=False, **kwargs)
-    else:  # pragma: no cover - transition-window jax
-        fn = shard_map(per_shard, check_rep=False, **kwargs)
-    return jax.jit(fn)
+    from dhaug_tpu.parallel.mesh import shard_map_unchecked
+    return jax.jit(shard_map_unchecked(per_shard, **kwargs))

@@ -64,7 +64,12 @@ def prepare_data(args, per_frame_cam: bool = True) -> DataBundle:
         # accelerator work (a wrong-unit npz otherwise wastes a multi-hour
         # run); raises DataValidationError with an actionable message
         from dhaug_tpu.data.validate import validate_dataset_dir
-        validate_dataset_dir(root, getattr(args, "keypoints", "gt"))
+        # the bone-template asset feeds only the GAN re-skin; baseline /
+        # evaluate CLIs (parse_baseline_args has no data_enhancement_method)
+        # must not hard-fail on its absence
+        validate_dataset_dir(
+            root, getattr(args, "keypoints", "gt"),
+            require_templates=hasattr(args, "data_enhancement_method"))
 
     if args.dataset != "h36m":
         raise KeyError("Invalid dataset")

@@ -76,6 +76,12 @@ def main(argv=None):
                 raise SystemExit(
                     f"--train_npz {args.train_npz} is missing '{key_name}' "
                     "(expected a scripts/synthesize_dataset.py output)")
+        if synth["pose3d"].shape[0] < args.batch_size:
+            raise SystemExit(
+                f"--train_npz {args.train_npz} has only "
+                f"{synth['pose3d'].shape[0]} poses < --batch_size "
+                f"{args.batch_size}: zero training steps per epoch. "
+                "Synthesize more poses or lower --batch_size.")
         print(f"==> Training on synthesized dataset {args.train_npz}: "
               f"{synth['pose3d'].shape[0]} poses")
         dev2d = jnp.asarray(synth["pose2d"].astype(np.float32))

@@ -74,9 +74,17 @@ def main(argv=None):
 
     forward, flip_forward = make_posenet_eval_step(model)
     if video:
-        h36m = evaluate(forward, params, batch_stats,
+        # match the training loop / reference protocol: whole-sequence
+        # (UnchunkedSequences) eval is SEQUENCE-weighted (num_poses == 1 per
+        # UnchunkedGenerator yield, video_mode_operate.py:787,828); the
+        # windowed flavour keeps frame weighting (train/video_runner.py:233)
+        from dhaug_tpu.data.chunked import UnchunkedSequences
+        from dhaug_tpu.train.posenet import evaluate_sequences
+        eval_agg = evaluate_sequences \
+            if isinstance(h36m_eval, UnchunkedSequences) else evaluate
+        h36m = eval_agg(forward, params, batch_stats,
                         _video_eval_batches(h36m_eval, args.batch_size, rf))
-        dhp = evaluate(forward, params, batch_stats,
+        dhp = eval_agg(forward, params, batch_stats,
                        _video_eval_batches(mpi3d_eval, args.batch_size, rf),
                        flip_forward=flip_forward)
     else:

@@ -61,8 +61,10 @@ def main(argv=None):
     key = jax.random.PRNGKey(args.seed)
     params = net.init(key, jnp.zeros((2, 128)))["params"]
     if args.ckpt:
-        from dhaug_tpu.utils.checkpoint import load_ckpt, restore_into
-        saved = load_ckpt(args.ckpt)
+        # load_snapshot auto-detects the format (pickle file vs an orbax
+        # snapshot directory from --ckpt_format orbax)
+        from dhaug_tpu.utils.checkpoint import load_snapshot, restore_into
+        saved = load_snapshot(args.ckpt)
         gen_state = saved.get("gen_state")
         saved_params = gen_state.params if gen_state is not None else saved["gen"]
         params = restore_into(params, saved_params)

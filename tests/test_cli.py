@@ -228,6 +228,16 @@ def test_synthesize_dataset_roundtrip(workdir):
     best = re.search(r"Best H36M P1: ([\d.]+)", proc2.stdout)
     assert best and float(best.group(1)) > 0
 
+    # an npz smaller than the batch would train ZERO steps/epoch while
+    # still writing 'best' checkpoints of the init — must be rejected
+    proc3 = run_cli("run_baseline.py", "--posenet_name", "mlp",
+                    "--train_npz", out, "--epochs", "1", "--stages", "1",
+                    "--checkpoint", os.path.join(workdir, "synth_tiny"),
+                    *COMMON, "--batch_size", "4096")  # last --batch_size wins
+    assert proc3.returncode != 0
+    err = proc3.stdout + proc3.stderr
+    assert "zero training steps" in err, err[-1500:]
+
 
 @pytest.mark.slow
 def test_fk_gan_orbax_resume_roundtrip(workdir):
@@ -262,6 +272,16 @@ def test_fk_gan_orbax_resume_roundtrip(workdir):
                  "--posenet_name", "mlp", "--stages", "1", *COMMON)
     assert p3.returncode == 0, p3.stderr[-2000:]
     assert "H36M" in p3.stdout
+
+    # the DH-3DHP synthesizer accepts the orbax snapshot directory too
+    # (it used to open() the path pickle-style and die on a directory)
+    out = os.path.join(workdir, "orbax_synth.npz")
+    p4 = run_cli("scripts/synthesize_dataset.py", "--n_poses", "256",
+                 "--batch", "256", "--ckpt", snaps[0], "--out", out,
+                 "--Gen_DenseDim", "64", "--jax_platform", "cpu")
+    assert p4.returncode == 0, p4.stderr[-2000:]
+    assert "loaded generator" in p4.stdout
+    assert np.load(out)["pose3d"].shape == (256, 16, 3)
 
 
 @pytest.mark.slow
@@ -331,6 +351,8 @@ def test_fk_gan_video_mode(workdir):
         ckpts += [os.path.join(root, f) for f in files
                   if f.startswith("ckpt_best")]
     assert ckpts, "no video checkpoint written"
+    # prefer the H36M-best checkpoint so its score is pinned below
+    ckpts.sort(key=lambda p: "h36m" not in os.path.basename(p))
     rng = np.random.default_rng(1)
     pw3d_path = os.path.join(workdir, "fake_3dpw_video.npz")
     np.savez(pw3d_path,
@@ -342,6 +364,14 @@ def test_fk_gan_video_mode(workdir):
                     "--Path_3DPW", pw3d_path, *COMMON)
     assert proc2.returncode == 0, proc2.stderr[-2000:]
     assert "3DPW" in proc2.stdout and "14-joint protocol" in proc2.stdout
+    # run_evaluate must reproduce the training log's best H36M P1 — same
+    # SEQUENCE-weighted whole-sequence protocol (it used to frame-weight,
+    # disagreeing with video_mode_evaluate_posenet for the same checkpoint)
+    # warmup epochs print 'H36M P1 0.00' placeholders — only trained rows count
+    best_train = min(float(v) for v in m if float(v) > 0)
+    m2 = re.search(r"H36M\s*: P1 ([\d.]+)", proc2.stdout)
+    assert m2, proc2.stdout[-1500:]
+    np.testing.assert_allclose(float(m2.group(1)), best_train, atol=0.05)
 
 
 @pytest.mark.slow

@@ -228,9 +228,15 @@ class TestSingleFrameSteps:
         scaler8 = jnp.zeros((B, 8), jnp.float32)
 
         results = {}
-        for use_pallas in (False, True):
+        # (use_pallas_fk, use_pallas_fk_grad): the escape hatch
+        # (True, False) keeps the critic fakes on the fused kernel but the
+        # generator gradient on the XLA lowering - its update must be
+        # BITWISE the all-XLA one (same gradient program)
+        for key in (False, True, "pallas_nograd"):
+            use_pallas = bool(key)
             gen_cfg = GeneratorConfig(dense_dim=32)
             hyper = GanHyper(flip=True, use_pallas_fk=use_pallas,
+                             use_pallas_fk_grad=key != "pallas_nograd",
                              pallas_interpret=True)
             gen = FkGeneratorNet(gen_cfg)
             d3d = Fk3DDiscriminator(dense_dim=32)
@@ -248,7 +254,7 @@ class TestSingleFrameSteps:
             state, gm = steps.generator_step(
                 make_state(txs[2], gp), p3, p2, bone_len,
                 jnp.asarray(0, jnp.int32), KEY, noise=noise, scaler8=scaler8)
-            results[use_pallas] = (state.params, float(gm["g_cost"]))
+            results[key] = (state.params, float(gm["g_cost"]))
 
         assert abs(results[True][1] - results[False][1]) < 1e-4
         # CLAUDE.md: Adam amplifies near-zero-grad noise to O(lr)=1e-4 on
@@ -257,6 +263,11 @@ class TestSingleFrameSteps:
                         jax.tree.leaves(results[False][0])):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=2e-4)
+        # use_pallas_fk_grad=False == the all-XLA update exactly
+        assert results["pallas_nograd"][1] == results[False][1]
+        for a, b in zip(jax.tree.leaves(results["pallas_nograd"][0]),
+                        jax.tree.leaves(results[False][0])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 class TestEpochScan:

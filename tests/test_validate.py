@@ -36,6 +36,25 @@ class TestValidDataPasses:
         assert report["test_3dhp.npz"]["n_frames"] == 2929
         assert 1 / 3 < report["hm36s15678_bl_templates.npy"]["ratio_vs_data"] < 3
 
+    def test_missing_templates_optional_for_baseline(self, good_root,
+                                                     tmp_path):
+        """The bone-template asset feeds only the GAN re-skin; a real
+        dataset without it must pass preflight for run_baseline /
+        run_evaluate (require_templates=False) but still fail for the GAN
+        CLI (True)."""
+        import shutil
+        from dhaug_tpu.data.validate import DataValidationError
+        root = str(tmp_path / "no_tmpl")
+        shutil.copytree(good_root, root)
+        os.remove(os.path.join(root, "data_extra", "bone_length_npy",
+                               "hm36s15678_bl_templates.npy"))
+        report = validate_dataset_dir(root, "gt", verbose=False,
+                                      require_templates=False)
+        assert "hm36s15678_bl_templates.npy" not in report
+        with pytest.raises(DataValidationError):
+            validate_dataset_dir(root, "gt", verbose=False,
+                                 require_templates=True)
+
     def test_det_keypoints_file(self, good_root):
         validate_2d_npz(os.path.join(good_root, "data",
                                      "data_2d_h36m_cpn.npz"),
