@@ -174,6 +174,18 @@ MPI3D_SEQUENCE_RANGES = ((0, 603), (603, 1143), (1143, 1648),
 
 
 def split_mpi3d_sequences(pose3d: np.ndarray, pose2d: np.ndarray):
+    # the 6-sequence frame ranges are hardcoded for the reference's
+    # 2929-frame test_3dhp.npz export (prepare_data_3dhp.py); a different
+    # frame count would silently mis-split (or crash on an empty slice many
+    # epochs in), so fail at data-prep time with an actionable message
+    n = MPI3D_SEQUENCE_RANGES[-1][1]
+    if pose3d.shape[0] != n:
+        raise ValueError(
+            f"test_3dhp.npz has {pose3d.shape[0]} frames but the video-mode "
+            f"6-sequence split (MPI3D_SEQUENCE_RANGES) assumes the "
+            f"reference's {n}-frame export. Regenerate it with "
+            "data_extra/prepare_data_3dhp.py, or adjust "
+            "MPI3D_SEQUENCE_RANGES for your export's camera boundaries.")
     seq3d = [pose3d[a:b] for a, b in MPI3D_SEQUENCE_RANGES]
     seq2d = [pose2d[a:b] for a, b in MPI3D_SEQUENCE_RANGES]
     return seq3d, seq2d

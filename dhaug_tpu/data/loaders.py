@@ -109,7 +109,21 @@ def fetch(subjects, dataset, keypoints, action_filter=None, stride: int = 1,
             if parse_3d_poses and "positions_3d" in dataset[subject][action]:
                 poses_3d = dataset[subject][action]["positions_3d"]
                 assert len(poses_3d) == len(poses_2d), "Camera count mismatch"
+                base2d = len(out_poses_2d) - len(poses_2d)
                 for i in range(len(poses_3d)):
+                    # detector exports often cover trailing video frames past
+                    # the mocap: trim the 2D to the 3D length (the preflight
+                    # validator's documented contract, data/validate.py) so
+                    # the flattened 3D/2D lists stay frame-aligned
+                    n3 = np.asarray(poses_3d[i]).shape[0]
+                    j = base2d + i
+                    if out_poses_2d[j].shape[0] < n3:
+                        raise ValueError(
+                            f"{subject}/{action} cam {i}: 2D has "
+                            f"{out_poses_2d[j].shape[0]} frames < 3D {n3}")
+                    if out_poses_2d[j].shape[0] > n3:
+                        out_poses_2d[j] = out_poses_2d[j][:n3]
+                        out_actions[j] = out_actions[j][:n3]
                     out_poses_3d.append(np.asarray(poses_3d[i], np.float32))
                     cam = dataset[subject][action]["cameras"][i]["intrinsic"]
                     if with_extrinsics:
@@ -138,9 +152,14 @@ def fetch(subjects, dataset, keypoints, action_filter=None, stride: int = 1,
                     out_cam[i] = out_cam[i][::stride]
 
     if min_motion_mm is not None and train and out_poses_3d is not None:
-        # Drop frames whose max joint displacement from the previously kept
-        # frame is below the threshold (vectorised equivalent of the
-        # reference's per-frame Python loop).
+        # Drop frames whose max joint displacement from the previously KEPT
+        # frame is below the threshold.  The reference's `continue` skips its
+        # `prev_kp3d = kp3d` update (utils/data_utils.py:110-122), so the
+        # comparison is cumulative since the last kept frame — a sequence
+        # moving steadily below the threshold per frame still keeps a frame
+        # every time the accumulated motion crosses it.  (Unlike the
+        # reference we also filter the action/cam rows, keeping all four
+        # lists frame-aligned.)
         for i in range(len(out_poses_3d)):
             seq3d, seq2d = out_poses_3d[i], out_poses_2d[i]
             keep = [0]
@@ -148,7 +167,7 @@ def fetch(subjects, dataset, keypoints, action_filter=None, stride: int = 1,
             for f in range(1, seq3d.shape[0]):
                 if np.any(np.linalg.norm(prev - seq3d[f], axis=1) * 1000.0 >= min_motion_mm):
                     keep.append(f)
-                prev = seq3d[f]
+                    prev = seq3d[f]
             keep = np.asarray(keep)
             out_poses_3d[i] = seq3d[keep]
             out_poses_2d[i] = seq2d[keep]

@@ -37,6 +37,10 @@ def main(argv=None):
     ckpt = load_snapshot(args.evaluate)
     # older checkpoints stored the name as a 0-d numpy str array
     posenet_name = str(ckpt.get("posenet_name", args.posenet_name))
+    # write the resolved name back: video_data_preparation branches on
+    # args.posenet_name to pick whole-sequence vs windowed eval loaders —
+    # a name coming only from the checkpoint must drive it the same way
+    args.posenet_name = posenet_name
     video = posenet_name.startswith("mulit_farme")
 
     print("==> Loading dataset...")

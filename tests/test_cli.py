@@ -373,6 +373,15 @@ def test_fk_gan_video_mode(workdir):
     assert m2, proc2.stdout[-1500:]
     np.testing.assert_allclose(float(m2.group(1)), best_train, atol=0.05)
 
+    # resolving the posenet name FROM THE CHECKPOINT must pick the same
+    # whole-sequence eval protocol (args.posenet_name is written back
+    # before video_data_preparation branches on it)
+    proc3 = run_cli("run_evaluate.py", "--evaluate", ckpts[0],
+                    "--architecture", "3,3", *COMMON)
+    assert proc3.returncode == 0, proc3.stderr[-2000:]
+    m3 = re.search(r"H36M\s*: P1 ([\d.]+)", proc3.stdout)
+    np.testing.assert_allclose(float(m3.group(1)), best_train, atol=0.05)
+
 
 @pytest.mark.slow
 def test_fk_gan_video_mode_resume(workdir):

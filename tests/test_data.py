@@ -98,6 +98,59 @@ class TestFetch:
         # an absurd threshold keeps only the first frame per sequence
         assert all(s.shape[0] == 1 for s in p3)
 
+    def test_min_motion_filter_is_cumulative(self, data_root, dataset):
+        """The displacement baseline is the previously KEPT frame (the
+        reference's `continue` skips its prev_kp3d update,
+        utils/data_utils.py:110-122): a sequence moving steadily at half
+        the threshold keeps every OTHER frame, not just frame 0."""
+        kps = self._keypoints(data_root, dataset)
+        # steady 0.12 m/frame on one joint: threshold 200 mm crosses on
+        # every second frame cumulatively; adjacent-frame displacement
+        # (120 mm) alone would never cross
+        seq = np.zeros((9, 16, 3), np.float32)
+        seq[:, 0, 0] = np.arange(9, dtype=np.float32) * 0.12
+        sub = dataset["S1"]
+        action = next(iter(kps["S1"]))
+        saved3d = sub[action]["positions_3d"]
+        saved2d = kps["S1"][action]
+        try:
+            sub[action]["positions_3d"] = [seq] * len(saved3d)
+            kps["S1"][action] = [s[:9] for s in saved2d]
+            p3, p2, _, _ = fetch(["S1"], dataset, kps,
+                                 action_filter=[action.split(" ")[0]],
+                                 min_motion_mm=200.0)
+            np.testing.assert_allclose(p3[0][:, 0, 0],
+                                       [0.0, 0.24, 0.48, 0.72, 0.96],
+                                       atol=1e-6)
+            assert p2[0].shape[0] == p3[0].shape[0]
+        finally:
+            sub[action]["positions_3d"] = saved3d
+            kps["S1"][action] = saved2d
+
+    def test_trailing_2d_frames_trimmed(self, data_root, dataset):
+        """Detector exports often cover trailing video frames past the
+        mocap; fetch trims the 2D (and actions) to the 3D length — the
+        preflight validator's documented contract — instead of silently
+        misaligning every later sequence.  A SHORTER 2D raises."""
+        kps = self._keypoints(data_root, dataset)
+        action = next(iter(kps["S1"]))
+        saved = kps["S1"][action]
+        n3 = dataset["S1"][action]["positions_3d"][0].shape[0]
+        try:
+            kps["S1"][action] = [
+                np.concatenate([s, s[-3:]]) for s in saved]  # +3 trailing
+            p3, p2, actions, _ = fetch(["S1"], dataset, kps,
+                                       action_filter=[action.split(" ")[0]])
+            assert all(a.shape[0] == b.shape[0] == len(c)
+                       for a, b, c in zip(p3, p2, actions))
+            assert p2[0].shape[0] == n3
+            kps["S1"][action] = [s[: n3 - 2] for s in saved]
+            with pytest.raises(ValueError, match="frames < 3D"):
+                fetch(["S1"], dataset, kps,
+                      action_filter=[action.split(" ")[0]])
+        finally:
+            kps["S1"][action] = saved
+
     def test_per_sequence_cam_mode(self, data_root, dataset):
         kps = self._keypoints(data_root, dataset)
         _, _, _, cams = fetch(["S1"], dataset, kps, per_frame_cam=False,

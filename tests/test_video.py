@@ -115,6 +115,14 @@ class TestUnchunked:
         assert [s.shape[0] for s in s3] == [603, 540, 505, 553, 276, 452]
         assert sum(s.shape[0] for s in s3) == 2929
 
+    def test_mpi3d_split_rejects_wrong_frame_count(self):
+        """The hardcoded 6-sequence boundaries assume the reference's
+        2929-frame export; a different test_3dhp.npz must fail loudly at
+        data-prep time, not mis-split or crash at first eval."""
+        pose3d = np.zeros((2400, 16, 3))
+        with pytest.raises(ValueError, match="2929"):
+            split_mpi3d_sequences(pose3d, np.zeros((2400, 16, 2)))
+
 
 class TestVideoGan:
     def _args(self):
