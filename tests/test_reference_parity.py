@@ -2102,6 +2102,57 @@ class TestPosenetUpdateParity:
     _torch_flip = staticmethod(TestUpdateDynamicsParity._torch_flip)
 
 
+class TestFetchParity:
+    """The reference's ACTUAL utils/data_utils.py::fetch executed on
+    identical nested dicts — pins the --video_over_200mm motion filter's
+    cumulative semantics (the reference's `continue` skips its prev_kp3d
+    update, :110-122) and the flatten/stride behaviour."""
+
+    def _make_data(self, rng, n_frames=40):
+        import types
+        dataset, keypoints = {}, {}
+        for subject in ("S1", "S5"):
+            dataset[subject], keypoints[subject] = {}, {}
+            for action in ("Walking 1", "Eating 1"):
+                seqs3d, seqs2d, cams = [], [], []
+                for _ in range(2):  # cameras
+                    # random walk with per-frame steps straddling 200 mm so
+                    # the cumulative filter bites at varied places
+                    steps = rng.uniform(0.0, 0.3, (n_frames, 1, 3))
+                    seq = np.cumsum(steps, axis=0) * np.ones((1, 16, 1))
+                    seqs3d.append(seq.astype(np.float32))
+                    seqs2d.append(rng.normal(
+                        size=(n_frames, 16, 2)).astype(np.float32))
+                    cams.append({"intrinsic": rng.normal(size=9).astype(
+                        np.float32), "orientation": np.zeros(4, np.float32),
+                        "translation": np.zeros(3, np.float32)})
+                dataset[subject][action] = {"positions_3d": seqs3d,
+                                            "cameras": cams}
+                keypoints[subject][action] = seqs2d
+        args = types.SimpleNamespace(video_over_200mm=True,
+                                     single_or_multi_train_mode="multi")
+        return dataset, keypoints, args
+
+    def test_motion_filter_and_flatten(self, ref):
+        import utils.data_utils as ref_du
+
+        from dhaug_tpu.data.loaders import fetch
+        rng = np.random.default_rng(3)
+        dataset, keypoints, args = self._make_data(rng)
+        import copy
+        r3, r2, _, _ = ref_du.fetch(
+            ["S1", "S5"], copy.deepcopy(dataset), copy.deepcopy(keypoints),
+            args, "train", stride=2)
+        m3, m2, _, _ = fetch(["S1", "S5"], dataset, keypoints, stride=2,
+                             train=True, per_frame_cam=False,
+                             min_motion_mm=200.0)
+        assert len(r3) == len(m3)
+        for a, b in zip(r3, m3):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(r2, m2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
 class TestEvalProtocolParity:
     """Execution-level parity for the EVALUATION LOOPS (round-3 VERDICT
     missing #1): the reference's actual evaluate/evaluate_posenet
