@@ -227,24 +227,30 @@ def run_gan_epoch(gan: GanBundle, gt2d3d: PoseDataset, target_2d: PoseTarget,
 
     if writer is not None:
         # tag names follow the reference's writer names
-        # (model_fk_gan_train.py:225-228: Fk_d3d/Fk_d2d _D_real/_D_fake/
-        # _Wasserstein_D under train_G_iter_PoseFk/)
+        # (model_fk_gan_train.py:225-228,316,384: Fk_d3d / plain d2d
+        # _D_real/_D_fake/_Wasserstein_D under train_G_iter_PoseFk/)
         tag_of = {"3d_d_real": "Fk_d3d_D_real", "3d_d_fake": "Fk_d3d_D_fake",
                   "3d_wasserstein": "Fk_d3d_Wasserstein_D",
                   "3d_d_cost": "Fk_d3d_D_cost",
-                  "2d_d_real": "Fk_d2d_D_real", "2d_d_fake": "Fk_d2d_D_fake",
-                  "2d_wasserstein": "Fk_d2d_Wasserstein_D",
-                  "2d_d_cost": "Fk_d2d_D_cost"}
-        for b in range(0, n_batches, 50):
+                  # the reference names the 2D critic writer plain 'd2d'
+                  # (model_fk_gan_train.py:384), unlike 'Fk_d3d' (:316) —
+                  # its own inconsistency, reproduced for dashboard parity
+                  "2d_d_real": "d2d_D_real", "2d_d_fake": "d2d_D_fake",
+                  "2d_wasserstein": "d2d_Wasserstein_D",
+                  "2d_d_cost": "d2d_D_cost"}
+        # critic tags on the GLOBAL %50 step grid (the reference logs when
+        # summary.train_iter_num % 50 == 0, model_fk_gan_train.py:223-228)
+        first = -iter_base % 50
+        for b in range(first, n_batches, 50):
             it = iter_base + b
             for k2, tag in tag_of.items():
                 writer.add_scalar(f"train_G_iter_PoseFk/{tag}",
                                   float(scalars[k2][b]), it)
         # G_cost exists only on the every-5th generator iterations (NaN
-        # elsewhere) — log every 10th real update, as the old loop did
+        # elsewhere); the reference logs EVERY generator update (:481-484)
+        # and the scalars are already host-side — one packed fetch above
         g_cost = scalars["g_cost"]
-        gen_its = np.where(~np.isnan(g_cost))[0]
-        for b in gen_its[::10]:
+        for b in np.where(~np.isnan(g_cost))[0]:
             writer.add_scalar("train_G_iter_PoseFk/G_cost",
                               float(g_cost[b]), iter_base + int(b))
 

@@ -351,8 +351,9 @@ def make_video_steps(gen_apply, d3d_apply, d2d_apply, md3d_apply, md2d_apply,
         updates, opt_state = gen_tx.update(grads, gen_state.opt_state,
                                            gen_state.params)
         params = jax.tree.map(lambda p, u: p + u, gen_state.params, updates)
+        # G_cost = -gen_loss (video_GAN_fun.py:554); loss IS -gen_loss
         return (gen_state.replace(params=params, opt_state=opt_state),
-                {"g_cost": -loss})
+                {"g_cost": loss})
 
     # donate the five net states on TPU (see gan/wgan.py epoch_step): callers
     # thread the returned states; CPU ignores donation, so gate on backend
@@ -576,14 +577,17 @@ def _run_video_gan_epoch_scan(gan: VideoGanBundle, loader, batch_size: int,
         {k: float(np.nanmean(v)) for k, v in scalars.items()
          if np.isfinite(v).any()})
     if writer is not None:
+        # same cadence as the per-batch fallback path: G_cost at every
+        # generator iteration (the scalars are already host-side — one
+        # packed fetch above), critic tags on the GLOBAL %50 step grid
         for tag, vals in scalars.items():
             if tag == "G_cost":
-                gen_its = np.where(~np.isnan(vals))[0]
-                for b in gen_its[::10]:
+                for b in np.where(~np.isnan(vals))[0]:
                     writer.add_scalar("train_G_iter_PoseFk/G_cost",
                                       float(vals[b]), iter_base + int(b))
             else:
-                for b in range(0, n_batches, 50):
+                first = -iter_base % 50
+                for b in range(first, n_batches, 50):
                     writer.add_scalar(f"train_G_iter_PoseFk/{tag}",
                                       float(vals[b]), iter_base + b)
 

@@ -321,8 +321,10 @@ def make_single_frame_steps(gen_apply, d3d_apply, d2d_apply,
         updates, opt_state = gen_tx.update(grads, gen_state.opt_state,
                                            gen_state.params)
         params = jax.tree.map(lambda p, u: p + u, gen_state.params, updates)
+        # the reference's logged quantity is G_cost = -gen_loss
+        # (model_fk_gan_train.py:481); loss here IS -gen_score = -gen_loss
         return (gen_state.replace(params=params, opt_state=opt_state),
-                {"g_cost": -loss})
+                {"g_cost": loss})
 
     # Donate the three net states on TPU: without donation XLA must copy
     # every params + Adam-moments buffer into the scan carry at each epoch

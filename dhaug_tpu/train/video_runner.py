@@ -121,7 +121,7 @@ def video_reskin_update(args, bundle, templates, rng):
                         random_seed=int(rng.integers(0, 2 ** 31)))
 
 
-def _video_eval_batches(loader, batch_size: int, rf: int, bucket: int = 128,
+def _video_eval_batches(loader, batch_size: int, bucket: int = 128,
                         mesh=None):
     """Adapt the two loader flavours to (inputs_2d, targets_3d, valid)
     fixed-ish shapes.  Whole sequences are bucket-padded (edge) so the
@@ -245,10 +245,10 @@ def video_mode_main(args, train_subjects: List[str]):
             if stats:
                 stats = replicate(eval_mesh, stats)
         h36m = eval_agg(forward, params, stats,
-                        _video_eval_batches(h36m_eval, args.batch_size, rf,
+                        _video_eval_batches(h36m_eval, args.batch_size,
                                             mesh=eval_mesh))
         dhp = eval_agg(forward, params, stats,
-                       _video_eval_batches(mpi3d_eval, args.batch_size, rf,
+                       _video_eval_batches(mpi3d_eval, args.batch_size,
                                            mesh=eval_mesh),
                        flip_forward=flip_forward)
         return h36m, dhp
@@ -398,7 +398,15 @@ def video_mode_main(args, train_subjects: List[str]):
             scores = {"h36m": h36m, "dhp": dhp}
 
             trained_epochs += 1
-            if now_epoch < gan_epochs_end:
+            # GAN mode steps the linear schedule until the GAN phase ends
+            # (training starts warmup+single_dis epochs late, so the
+            # schedule counter stays <= args.epochs there); 'normal' trains
+            # from epoch 0 and must switch to the x0.95 additional decay at
+            # args.epochs like the reference (run_Fk_GAN.py:281-301) — the
+            # GAN boundary would run the linear schedule to exactly 0
+            lr_end = gan_epochs_end \
+                if args.data_enhancement_method == "GAN" else args.epochs
+            if now_epoch < lr_end:
                 lr_now = lambda_lr(args.lr_p, trained_epochs, args.epochs)
             else:
                 lr_now = lr_now * args.additional_LR_decay

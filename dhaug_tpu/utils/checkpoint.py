@@ -94,7 +94,12 @@ def save_ckpt_orbax(state: dict, ckpt_dir: str, suffix: str = "orbax") -> str:
     state = fetch_tree(state)  # bulk device->host in O(dtype) transfers
     arrays = {}
     others = {}
-    flat, treedef = jax.tree_util.tree_flatten_with_path(state)
+    # None leaves (e.g. dhpp1_best before the first eval) must be REAL
+    # leaves riding the sidecar: the default flatten treats None as an
+    # empty subtree, which load_ckpt_orbax would then resurface as a
+    # keyless leaf -> KeyError on resume
+    flat, treedef = jax.tree_util.tree_flatten_with_path(
+        state, is_leaf=lambda x: x is None)
     for keypath, leaf in flat:
         key = jax.tree_util.keystr(keypath)
         numeric_array = (isinstance(leaf, (jax.Array, np.ndarray))
@@ -123,11 +128,13 @@ def load_ckpt_orbax(path: str) -> dict:
         aux = pickle.load(f)
     leaves_by_key = {**arrays, **aux["others"]}
     treedef = aux["treedef"]
-    # rebuild in treedef order
+    # rebuild in treedef order; a unique sentinel (NOT None — None would be
+    # collapsed into an empty subtree on re-flatten) marks leaf positions
+    sentinel = object()
     structure = jax.tree_util.tree_unflatten(
-        treedef, [None] * treedef.num_leaves)
+        treedef, [sentinel] * treedef.num_leaves)
     flat, _ = jax.tree_util.tree_flatten_with_path(
-        structure, is_leaf=lambda x: x is None)
+        structure, is_leaf=lambda x: x is sentinel)
     ordered = [leaves_by_key[jax.tree_util.keystr(kp)] for kp, _ in flat]
     return jax.tree_util.tree_unflatten(treedef, ordered)
 

@@ -164,7 +164,10 @@ def single_frame_mode_main(args, bundle, train_subjects):
                                              plot_pose_grid_2d,
                                              plot_pose_grid_3d)
             import os.path as osp
-            plot_pose_grid_3d(fake_ds.poses_3d[:16],
+            # np.asarray: ONE bulk device fetch — the plotters index per
+            # skeleton edge, which on a device array would pay a ~35 ms
+            # tunnel round trip per element access (CLAUDE.md)
+            plot_pose_grid_3d(np.asarray(fake_ds.poses_3d[:16]),
                               osp.join(run_dir, "tmp", f"fake3d_ep{summary.epoch}.jpg"),
                               title=f"fake 3D, epoch {summary.epoch}")
             # 'for paper' clean dumps + fake-vs-real pair grid
@@ -180,7 +183,7 @@ def single_frame_mode_main(args, bundle, train_subjects):
                 np.asarray(gt2d3d.poses_3d[:4]),
                 osp.join(run_dir, "tmp", f"pairs3d_ep{summary.epoch}.jpg"),
                 title=f"fake vs real, epoch {summary.epoch}")
-            plot_pose_grid_2d(fake_ds.poses_2d[:16],
+            plot_pose_grid_2d(np.asarray(fake_ds.poses_2d[:16]),
                               osp.join(run_dir, "tmp", f"fake2d_ep{summary.epoch}.jpg"),
                               title=f"fake 2D, epoch {summary.epoch}")
             # the reference dumps REAL frames next to the fake ones every

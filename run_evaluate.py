@@ -87,9 +87,9 @@ def main(argv=None):
         eval_agg = evaluate_sequences \
             if isinstance(h36m_eval, UnchunkedSequences) else evaluate
         h36m = eval_agg(forward, params, batch_stats,
-                        _video_eval_batches(h36m_eval, args.batch_size, rf))
+                        _video_eval_batches(h36m_eval, args.batch_size))
         dhp = eval_agg(forward, params, batch_stats,
-                       _video_eval_batches(mpi3d_eval, args.batch_size, rf),
+                       _video_eval_batches(mpi3d_eval, args.batch_size),
                        flip_forward=flip_forward)
     else:
         from dhaug_tpu.train.runners import evaluate_both

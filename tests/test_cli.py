@@ -285,6 +285,30 @@ def test_fk_gan_orbax_resume_roundtrip(workdir):
 
 
 @pytest.mark.slow
+def test_fk_gan_video_normal_lr_stays_positive(workdir):
+    """Video mode with --data_enhancement_method normal trains from epoch 0,
+    so the posenet LR must switch to the x0.95 exponential decay at
+    args.epochs (reference run_Fk_GAN.py:296-303) — the GAN-phase boundary
+    would run the linear schedule to exactly 0 and freeze the posenet for
+    every remaining epoch."""
+    proc = run_cli("run_Fk_GAN.py", "--posenet_name", "mulit_farme_videopose",
+                   "--single_or_multi_train_mode", "multi",
+                   "--architecture", "3,3",
+                   "--data_enhancement_method", "normal",
+                   "--epochs", "1", "--warmup", "1",
+                   "--single_dis_warmup_epoch", "1",
+                   "--additional_train_epoch", "3", "--stages", "1",
+                   "--checkpoint", os.path.join(workdir, "vidnorm"), *COMMON)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    import re
+    lrs = [float(v) for v in re.findall(r"LR: ([\d.]+)", proc.stdout)]
+    assert len(lrs) >= 5
+    assert all(lr > 0 for lr in lrs), lrs
+    # the additional phase decays by exactly x0.95 per epoch
+    np.testing.assert_allclose(lrs[-1] / lrs[-2], 0.95, rtol=1e-4)
+
+
+@pytest.mark.slow
 def test_fk_gan_detected_keypoints(workdir):
     """--keypoints cpn end to end: the GAN trains against re-projected GT
     while the posenet real pass and the evaluations consume the detected-2D

@@ -1224,7 +1224,8 @@ class TestUpdateDynamicsParity:
             jax.random.PRNGKey(0), noise=jnp.asarray(noise),
             scaler8=jnp.zeros((B, 8), jnp.float32))
 
-        assert abs(float(gm["g_cost"]) - loss_ref) < 2e-4
+        # gm['g_cost'] carries the reference's G_cost = -gen_loss
+        assert abs(float(gm["g_cost"]) + loss_ref) < 2e-4
 
         params_ref_after = _snapshot(p0)
         _transplant_gen_trunk(ref_g, params_ref_after)
@@ -1444,7 +1445,9 @@ class TestUpdateDynamicsParity:
                     gen_state, d3_state.params, d2_state.params, bone_len,
                     jnp.asarray(cam_idx), key,
                     noise=jnp.asarray(gen_noises[i]), scaler8=zeros8)
-                g_mine.append(float(gm["g_cost"]))
+                # g_cost = the reference's G_cost = -gen_loss; the helper
+                # returns gen_loss, so flip for the trajectory comparison
+                g_mine.append(-float(gm["g_cost"]))
 
         assert np.all(np.isfinite(w3_mine)) and np.all(np.isfinite(w2_mine))
         np.testing.assert_allclose(w3_mine, w3_ref, rtol=1e-3, atol=5e-4)
@@ -1694,7 +1697,8 @@ class TestVideoUpdateDynamicsParity:
             use_motion=True, noise=jnp.asarray(noise),
             scaler8=jnp.asarray(scaler8))
 
-        assert abs(float(gm["g_cost"]) - loss_ref) < 2e-4
+        # gm['g_cost'] carries the reference's G_cost = -gen_loss
+        assert abs(float(gm["g_cost"]) + loss_ref) < 2e-4
 
         params_ref_after = _snapshot(p0)
         _transplant_gen_trunk(ref_g, params_ref_after)
@@ -2331,10 +2335,10 @@ class TestEvalProtocolParity:
         dhp_loader = UnchunkedSequences(None, dhp_3d, dhp_2d, pad=pad)
         got_h36m = evaluate_sequences(
             forward, params, stats,
-            _video_eval_batches(h36m_loader, batch_size=4, rf=rf))
+            _video_eval_batches(h36m_loader, batch_size=4))
         got_dhp = evaluate_sequences(
             forward, params, stats,
-            _video_eval_batches(dhp_loader, batch_size=4, rf=rf),
+            _video_eval_batches(dhp_loader, batch_size=4),
             flip_forward=flip_forward)
 
         assert abs(got_h36m["p1"] - exp_h36m_p1) < self.TOL_MM
@@ -2348,6 +2352,5 @@ class TestEvalProtocolParity:
         # frame-weighted aggregate differs from the protocol number
         from dhaug_tpu.train.posenet import evaluate as frame_weighted
         fw = frame_weighted(forward, params, stats,
-                            _video_eval_batches(h36m_loader, batch_size=4,
-                                                rf=rf))
+                            _video_eval_batches(h36m_loader, batch_size=4))
         assert abs(fw["p1"] - exp_h36m_p1) > self.TOL_MM

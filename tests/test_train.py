@@ -196,6 +196,22 @@ class TestCheckpoint:
         np.testing.assert_allclose(np.asarray(back["params"]["w"]), 1.0)
         assert back["np_rng"]["state"]["state"] == 12345
 
+    def test_orbax_roundtrip_with_none_leaves(self, tmp_path):
+        """A snapshot saved before the first eval carries dhpp1_best=None;
+        None must ride the sidecar as a real leaf (the default flatten
+        collapses it into an empty subtree, which load used to resurface
+        as a keyless leaf -> KeyError on resume)."""
+        import jax.numpy as jnp
+
+        from dhaug_tpu.utils.checkpoint import (load_ckpt_orbax,
+                                                save_ckpt_orbax)
+        state = {"dhpp1_best": None, "s911p1_best": None, "epoch": 1,
+                 "params": {"w": jnp.zeros((2,)), "b": None}}
+        back = load_ckpt_orbax(save_ckpt_orbax(state, str(tmp_path)))
+        assert back["dhpp1_best"] is None and back["s911p1_best"] is None
+        assert back["params"]["b"] is None and back["epoch"] == 1
+        np.testing.assert_allclose(np.asarray(back["params"]["w"]), 0.0)
+
     def test_restore_shape_mismatch_raises(self, tmp_path):
         import pytest
         from dhaug_tpu.utils.checkpoint import restore_into
