@@ -38,6 +38,15 @@ class ChunkWindows:
                  full_3d_window: bool = False, shuffle: bool = True,
                  random_seed: int = 1234, drop_last: bool = True):
         assert len(poses_3d) == len(poses_2d)
+        # every offset below is derived from the 2D lengths; a per-sequence
+        # frame-count mismatch would silently shift every 3D target after
+        # the first unequal sequence — fail loudly instead
+        for i, (s3, s2) in enumerate(zip(poses_3d, poses_2d)):
+            if np.asarray(s3).shape[0] != np.asarray(s2).shape[0]:
+                raise ValueError(
+                    f"sequence {i}: 3D has {np.asarray(s3).shape[0]} frames "
+                    f"but 2D has {np.asarray(s2).shape[0]} — trim upstream "
+                    "(data/loaders.py::fetch aligns them)")
         self.batch_size = batch_size
         self.pad = pad
         self.full_3d_window = full_3d_window

@@ -13,7 +13,6 @@ import copy
 import numpy as np
 
 from dhaug_tpu.data.skeleton import MocapDataset, Skeleton
-from dhaug_tpu.ops.camera import normalize_screen_coordinates
 
 H36M_NAMES = [""] * 32
 H36M_NAMES[0] = "Hip"
@@ -197,8 +196,14 @@ def normalized_camera(subject: str, cam_idx: int) -> dict:
     for k, v in cam.items():
         if k not in ["id", "res_w", "res_h"]:
             cam[k] = np.array(v, dtype="float32")
-    cam["center"] = np.asarray(normalize_screen_coordinates(
-        cam["center"], w=cam["res_w"], h=cam["res_h"])).astype("float32")
+    # pure-numpy screen normalization (common/camera.py:10): dataset
+    # construction is host-side metadata — routing this (2,) constant
+    # through the jnp op would force accelerator init (+ ~30-40 ms tunnel
+    # round trips per camera on this host)
+    w, h = float(cam["res_w"]), float(cam["res_h"])
+    cam["center"] = np.asarray(
+        [cam["center"][0] / w * 2.0 - 1.0,
+         cam["center"][1] / w * 2.0 - h / w], dtype="float32")
     cam["focal_length"] = cam["focal_length"] / cam["res_w"] * 2.0
     if "translation" in cam:
         cam["translation"] = cam["translation"] / 1000.0  # mm -> m

@@ -26,6 +26,17 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# host-side HTML generation: the 4 golden FK calls are tiny — pin CPU so
+# they never open a TPU tunnel session (~100-300 s warmup + remote compile
+# on this container, CLAUDE.md), and cache whatever does compile
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                 "/root/.jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
 
 def build_spec():
     """All constants the JS FK needs, straight from ops.fk."""
