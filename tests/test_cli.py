@@ -388,6 +388,11 @@ def test_fk_gan_video_mode(workdir):
                     "--Path_3DPW", pw3d_path, *COMMON)
     assert proc2.returncode == 0, proc2.stderr[-2000:]
     assert "3DPW" in proc2.stdout and "14-joint protocol" in proc2.stdout
+    # --action-wise defaults true: the VIDEO per-action breakdown runs the
+    # same whole-sequence protocol per action group (one row per fixture
+    # action; it used to print a 'skipping' stub)
+    assert "per-action P1" in proc2.stdout
+    assert re.search(r"Walking\s+[\d.]+", proc2.stdout), proc2.stdout[-800:]
     # run_evaluate must reproduce the training log's best H36M P1 — same
     # SEQUENCE-weighted whole-sequence protocol (it used to frame-weight,
     # disagreeing with video_mode_evaluate_posenet for the same checkpoint)

@@ -343,14 +343,19 @@ def test_sharded_video_epoch_step_matches_single_device():
     start = jnp.asarray(rng.integers(0, T - F, size=(nb, B)))
     cam_sel = jnp.asarray(np.arange(n_cams).reshape(nb, B))
 
-    def run(mesh):
+    def run(mesh, tp=False):
         states = (gan.gen_state, gan.d3d_state, gan.d2d_state,
                   gan.md3d_state, gan.md2d_state)
         b3, b2, cm, s3, s2, cs = big3d, big2d, cams, start, start, cam_sel
         if mesh is not None:
             b3, b2, cm = (replicate(mesh, x) for x in (b3, b2, cm))
             s3, s2, cs = (shard_index_rows(mesh, x) for x in (s3, s2, cs))
-            states = tuple(replicate(mesh, s) for s in states)
+            if tp:
+                from dhaug_tpu.parallel.mesh import place_state
+                states = tuple(place_state(mesh, s, min_width=16)
+                               for s in states)
+            else:
+                states = tuple(replicate(mesh, s) for s in states)
         # iter0=3 with 2 iterations: the generator update fires inside the
         # LAST iteration (it==4), after that iteration's critic-phase fakes —
         # so every buffered fake is synthesized from the initial generator
@@ -360,24 +365,30 @@ def test_sharded_video_epoch_step_matches_single_device():
                                     jax.random.PRNGKey(9), use_motion=True)
 
     out1 = run(None)
-    out8 = run(make_mesh(8))
-    # fake clip buffers + per-iteration Wasserstein trajectories
-    np.testing.assert_allclose(np.asarray(out8[5][0]), np.asarray(out1[5][0]),
-                               rtol=1e-4, atol=1e-4)
-    for k in ("Fk_d3d_Wasserstein_D", "motion_Fk_d3d_Wasserstein_D",
-              "d2d_Wasserstein_D", "G_cost"):
-        np.testing.assert_allclose(np.asarray(out8[5][3][k]),
-                                   np.asarray(out1[5][3][k]),
-                                   rtol=1e-4, atol=1e-4, err_msg=k)
-    # the generator update trained both runs to near-identical params (Adam
-    # amplifies cross-device reduction noise on tiny gradients to O(lr))
-    gb = jax.tree.leaves(gan.gen_state.params)[0]
-    assert not np.allclose(np.asarray(jax.tree.leaves(out1[0].params)[0]),
-                           np.asarray(gb))
-    for x, y in zip(jax.tree.leaves(out1[0].params),
-                    jax.tree.leaves(out8[0].params)):
-        np.testing.assert_allclose(np.asarray(y), np.asarray(x),
-                                   rtol=1e-3, atol=2e-4)
+    # dp8 AND dp4 x tp2 (the VIDEO twin of
+    # test_tensor_parallel_epoch_step_matches_single_device: the five nets'
+    # wide Dense kernels + Adam moments shard over 'model' via place_state)
+    for out8 in (run(make_mesh(8)),
+                 run(make_mesh(8, model_axis=2), tp=True)):
+        # fake clip buffers + per-iteration Wasserstein trajectories
+        np.testing.assert_allclose(np.asarray(out8[5][0]),
+                                   np.asarray(out1[5][0]),
+                                   rtol=1e-4, atol=1e-4)
+        for k in ("Fk_d3d_Wasserstein_D", "motion_Fk_d3d_Wasserstein_D",
+                  "d2d_Wasserstein_D", "G_cost"):
+            np.testing.assert_allclose(np.asarray(out8[5][3][k]),
+                                       np.asarray(out1[5][3][k]),
+                                       rtol=1e-4, atol=1e-4, err_msg=k)
+        # the generator update trained both runs to near-identical params
+        # (Adam amplifies cross-device reduction noise on tiny gradients
+        # to O(lr))
+        gb = jax.tree.leaves(gan.gen_state.params)[0]
+        assert not np.allclose(np.asarray(jax.tree.leaves(out1[0].params)[0]),
+                               np.asarray(gb))
+        for x, y in zip(jax.tree.leaves(out1[0].params),
+                        jax.tree.leaves(out8[0].params)):
+            np.testing.assert_allclose(np.asarray(y), np.asarray(x),
+                                       rtol=1e-3, atol=2e-4)
 
 
 def test_sharded_eval_scan_matches_single_device():
