@@ -141,6 +141,24 @@ def fetch(subjects, dataset, keypoints, action_filter=None, stride: int = 1,
 
     if len(out_poses_3d) == 0:
         out_poses_3d = None
+    elif len(out_poses_3d) != len(out_poses_2d):
+        # Partial 3D: some (subject, action) carried positions_3d and some
+        # did not, so the 3D/cam lists are positionally misaligned with the
+        # 2D/action lists — every downstream consumer (ChunkWindows,
+        # UnchunkedSequences, the per-action eval grouping) zips them by
+        # index and would silently pair sequences wrongly.  The reference
+        # has the same latent hazard (utils/data_utils.py:59-61 guards 3D
+        # per action); fail loudly instead.
+        missing = [f"{s}/{a}" for s in subjects
+                   for a in keypoints[s].keys()
+                   if (action_filter is None
+                       or any(a.split(" ")[0] == f for f in action_filter))
+                   and "positions_3d" not in dataset[s][a]]
+        raise ValueError(
+            f"fetch: {len(out_poses_2d)} 2D sequences but only "
+            f"{len(out_poses_3d)} have 3D — actions without positions_3d: "
+            f"{missing[:5]}{'...' if len(missing) > 5 else ''}. Run "
+            "read_3d_data on every action or drop the 2D-only actions.")
 
     if stride > 1 and train:
         for i in range(len(out_poses_2d)):

@@ -40,16 +40,22 @@ def video_data_preparation(args):
     # everything else (video_mode_operate.py:470-481).
     poses_valid, poses_valid_2d = [], []
     from dhaug_tpu.data.loaders import fetch
-    pv, pv2, _, cams_v = fetch(bundle.subjects_test, bundle.dataset,
-                               bundle.keypoints, bundle.action_filter,
-                               stride=args.downsample, train=False,
-                               with_extrinsics=False, per_frame_cam=False)
+    pv, pv2, acts, cams_v = fetch(bundle.subjects_test, bundle.dataset,
+                                  bundle.keypoints, bundle.action_filter,
+                                  stride=args.downsample, train=False,
+                                  with_extrinsics=False, per_frame_cam=False)
     if args.posenet_name == "mulit_farme_videopose":
         h36m_eval = UnchunkedSequences(cams_v, pv, pv2, pad=pad)
     else:
         h36m_eval = ChunkWindows(args.batch_size, cams_v, pv, pv2, pad=pad,
                                  full_3d_window=False, shuffle=False,
                                  drop_last=False)
+    # the per-action breakdown (run_evaluate --action-wise) regroups THESE
+    # sequences via per_action_eval_loaders — stashing them here keeps the
+    # breakdown on the exact data and protocol branch of the headline eval
+    # (no second fetch that could diverge).  fetch guarantees the four lists
+    # are positionally aligned (it raises on partial 3D).
+    h36m_eval.eval_sequences = (cams_v, pv, pv2, [a[0] for a in acts])
 
     mpi = np.load(os.path.join(args.data_root, "data_extra", "test_set",
                                "test_3dhp.npz"))
@@ -62,6 +68,31 @@ def video_data_preparation(args):
                                   full_3d_window=False, shuffle=False,
                                   drop_last=False)
     return bundle, train_loader, gan_loader, h36m_eval, mpi3d_eval, rf
+
+
+def per_action_eval_loaders(batch_size: int, h36m_eval, pad: int):
+    """Yield (action, loader) pairs grouping video_data_preparation's H36M
+    eval sequences by action, each loader built under the SAME protocol
+    branch as the headline eval: whole-sequence (UnchunkedSequences) for the
+    dilated VideoPose twin, centre-frame windows (ChunkWindows) otherwise.
+
+    Lives next to the loader construction above so any future step between
+    fetch and the headline loader (a filter, a changed pad) automatically
+    applies to the breakdown too."""
+    cams_v, pv, pv2, seq_act = h36m_eval.eval_sequences
+    whole = isinstance(h36m_eval, UnchunkedSequences)
+    for action in sorted(set(seq_act)):
+        idx = [i for i, a in enumerate(seq_act) if a == action]
+        cams = [cams_v[i] for i in idx]
+        p3 = [pv[i] for i in idx]
+        p2 = [pv2[i] for i in idx]
+        if whole:
+            loader = UnchunkedSequences(cams, p3, p2, pad=pad)
+        else:
+            loader = ChunkWindows(batch_size, cams, p3, p2, pad=pad,
+                                  full_3d_window=False, shuffle=False,
+                                  drop_last=False)
+        yield action, loader
 
 
 def video_reskin_update(args, bundle, templates, rng):

@@ -151,32 +151,15 @@ def main(argv=None):
               f"({len(mapped)}-joint protocol, {gt.shape[0]} frames)")
 
     if video and getattr(args, "action_wise", False):
-        # per-action H36M P1 for video checkpoints: group the eval
-        # SEQUENCES by action and run the same protocol per group
-        # (whole-sequence sequence-weighted for the VideoPose twins,
-        # windowed frame-weighted otherwise — matching the main eval above)
-        from dhaug_tpu.data.chunked import ChunkWindows
-        from dhaug_tpu.data.loaders import fetch
-        pv, pv2, acts, cams_v = fetch(
-            bundle.subjects_test, bundle.dataset, bundle.keypoints,
-            bundle.action_filter, stride=args.downsample, train=False,
-            per_frame_cam=False)
-        pad = (rf - 1) // 2
-        seq_act = [a[0] for a in acts]
-        whole = isinstance(h36m_eval, UnchunkedSequences)
+        # per-action H36M P1 for video checkpoints: regroup the SAME eval
+        # sequences the headline number used (stashed on h36m_eval by
+        # video_data_preparation) under the same protocol branch —
+        # whole-sequence sequence-weighted for the VideoPose twins,
+        # windowed frame-weighted otherwise
+        from dhaug_tpu.train.video_runner import per_action_eval_loaders
         print("H36M per-action P1 (mm):")
-        for action in sorted(set(seq_act)):
-            idx = [i for i, a in enumerate(seq_act) if a == action]
-            p3 = [pv[i] for i in idx]
-            p2 = [pv2[i] for i in idx]
-            if whole:
-                loader = UnchunkedSequences([cams_v[i] for i in idx], p3,
-                                            p2, pad=pad)
-            else:
-                loader = ChunkWindows(args.batch_size,
-                                      [cams_v[i] for i in idx], p3, p2,
-                                      pad=pad, full_3d_window=False,
-                                      shuffle=False, drop_last=False)
+        for action, loader in per_action_eval_loaders(
+                args.batch_size, h36m_eval, (rf - 1) // 2):
             m = eval_agg(forward, params, batch_stats,
                          _video_eval_batches(loader, args.batch_size))
             print(f"  {action:14s} {m['p1']:7.2f}")

@@ -151,6 +151,23 @@ class TestFetch:
         finally:
             kps["S1"][action] = saved
 
+    def test_partial_3d_raises(self, data_root, dataset):
+        """Some actions with positions_3d and some without would leave the
+        3D/cam lists positionally misaligned with the 2D/action lists —
+        every downstream zip (ChunkWindows, UnchunkedSequences, the
+        per-action eval grouping) would silently pair sequences wrongly.
+        fetch must fail loudly instead."""
+        kps = self._keypoints(data_root, dataset)
+        actions = list(kps["S1"].keys())
+        assert len(actions) >= 2
+        victim = actions[-1]
+        saved = dataset["S1"][victim].pop("positions_3d")
+        try:
+            with pytest.raises(ValueError, match="positions_3d"):
+                fetch(["S1"], dataset, kps)
+        finally:
+            dataset["S1"][victim]["positions_3d"] = saved
+
     def test_per_sequence_cam_mode(self, data_root, dataset):
         kps = self._keypoints(data_root, dataset)
         _, _, _, cams = fetch(["S1"], dataset, kps, per_frame_cam=False,

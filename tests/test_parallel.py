@@ -351,9 +351,19 @@ def test_sharded_video_epoch_step_matches_single_device():
             b3, b2, cm = (replicate(mesh, x) for x in (b3, b2, cm))
             s3, s2, cs = (shard_index_rows(mesh, x) for x in (s3, s2, cs))
             if tp:
+                from jax.sharding import PartitionSpec as P
+
                 from dhaug_tpu.parallel.mesh import place_state
                 states = tuple(place_state(mesh, s, min_width=16)
                                for s in states)
+                # the placement really sharded something over 'model' —
+                # without this the tp leg silently degenerates into a
+                # second replicated-dp run if the test net dims or the
+                # place_state threshold ever stop dividing by model_axis
+                kernels = [x for s in states
+                           for x in jax.tree.leaves(s) if x.ndim == 2]
+                assert any(x.sharding.spec == P(None, "model")
+                           for x in kernels)
             else:
                 states = tuple(replicate(mesh, s) for s in states)
         # iter0=3 with 2 iterations: the generator update fires inside the
