@@ -97,7 +97,10 @@ def main():
     from dhaug_tpu.ops.camera import project_to_2d, world_to_camera_batch
     from dhaug_tpu.ops.fk import CANONICAL_BONE_LEN
 
-    on_tpu = jax.devices()[0].platform not in ("cpu",)
+    # the Pallas-kernel paths lower only through Mosaic (TPU) — a GPU or
+    # other non-CPU backend must take the XLA fallback, not crash at compile
+    from dhaug_tpu.ops.fk_pallas import fk_pallas_supported
+    on_tpu = fk_pallas_supported()
     key = jax.random.PRNGKey(0)
     cfg = GeneratorConfig(dense_dim=DENSE)
     net = FkGeneratorNet(cfg)

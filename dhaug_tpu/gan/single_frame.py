@@ -195,7 +195,8 @@ def run_gan_epoch(gan: GanBundle, gt2d3d: PoseDataset, target_2d: PoseTarget,
 
     gen_in, d3d_in, d2d_in = gan.gen_state, gan.d3d_state, gan.d2d_state
     if mesh is not None:
-        from dhaug_tpu.parallel.mesh import (place_state, replicate,
+        from dhaug_tpu.parallel.mesh import (assert_model_sharded,
+                                             place_state, replicate,
                                              shard_index_rows)
         dev_3d, dev_cam, dev_t2d = (replicate(mesh, x)
                                     for x in (dev_3d, dev_cam, dev_t2d))
@@ -203,6 +204,7 @@ def run_gan_epoch(gan: GanBundle, gt2d3d: PoseDataset, target_2d: PoseTarget,
         idx_t2d = shard_index_rows(mesh, idx_t2d)
         gen_in, d3d_in, d2d_in = (place_state(mesh, s)
                                   for s in (gen_in, d3d_in, d2d_in))
+        assert_model_sharded(mesh, gen_in, d3d_in, d2d_in)
 
     key, k_epoch = jax.random.split(key)
     gen_state, d3d_state, d2d_state, outs = steps.epoch_step(

@@ -448,10 +448,13 @@ def run_video_gan_epoch(gan: VideoGanBundle, gan_loader, batch_size: int,
     # user never silently gets one chip): states replicated once, each
     # per-batch clip sharded over 'data' below.
     if mesh is not None:
-        from dhaug_tpu.parallel.mesh import place_state
+        from dhaug_tpu.parallel.mesh import (assert_model_sharded,
+                                             place_state)
         gen_state, d3d_state, d2d_state, md3d_state, md2d_state = (
             place_state(mesh, s) for s in
             (gen_state, d3d_state, d2d_state, md3d_state, md2d_state))
+        assert_model_sharded(mesh, gen_state, d3d_state, d2d_state,
+                             md3d_state, md2d_state)
 
     # device-resident windows when the loader supports them (ChunkWindows)
     epoch_iter = gan_loader.device_epoch() if hasattr(gan_loader, "device_epoch") \
@@ -545,13 +548,15 @@ def _run_video_gan_epoch_scan(gan: VideoGanBundle, loader, batch_size: int,
     states_in = (gan.gen_state, gan.d3d_state, gan.d2d_state,
                  gan.md3d_state, gan.md2d_state)
     if mesh is not None:
-        from dhaug_tpu.parallel.mesh import (place_state, replicate,
+        from dhaug_tpu.parallel.mesh import (assert_model_sharded,
+                                             place_state, replicate,
                                              shard_index_rows)
         big3d, big2d, cams = (replicate(mesh, x) for x in (big3d, big2d, cams))
         start3d = shard_index_rows(mesh, start3d)
         start2d = shard_index_rows(mesh, start2d)
         cam_sel = shard_index_rows(mesh, cam_sel)
         states_in = tuple(place_state(mesh, s) for s in states_in)
+        assert_model_sharded(mesh, *states_in)
 
     key, k_epoch = jax.random.split(key)
     (gen_state, d3d_state, d2d_state, md3d_state, md2d_state, outs) = \

@@ -123,7 +123,13 @@ def mesh_from_args(args) -> Optional[Mesh]:
     return mesh
 
 
-def shard_params_tp(mesh: Mesh, params, min_width: int = 512):
+# Dense widths >= this shard over 'model'; the production nets' wide layers
+# are 1000-4096 (Gen_DenseDim/Dis_DenseDim defaults and the posenet MLP's
+# 1024), narrow glue layers (<=100) stay replicated.
+TP_MIN_WIDTH = 512
+
+
+def shard_params_tp(mesh: Mesh, params, min_width: int = TP_MIN_WIDTH):
     """Tensor-parallel placement: shard wide Dense kernels/biases over the
     'model' axis (last dim), replicate everything else.  With GSPMD, jit
     propagates these shardings through the matmuls and inserts the
@@ -139,10 +145,25 @@ def shard_params_tp(mesh: Mesh, params, min_width: int = 512):
     return jax.tree_util.tree_map_with_path(place, params)
 
 
-# Dense widths >= this shard over 'model'; the production nets' wide layers
-# are 1000-4096 (Gen_DenseDim/Dis_DenseDim defaults and the posenet MLP's
-# 1024), narrow glue layers (<=100) stay replicated.
-TP_MIN_WIDTH = 512
+def assert_model_sharded(mesh: Optional[Mesh], *trees, what="GAN net states"):
+    """Fail loudly when a non-unit 'model' axis sharded NOTHING across the
+    given state trees — otherwise a user asking for tensor parallelism whose
+    dense widths don't divide by --model_parallel_devices gets silent full
+    replication (model_axis x the chips for zero speedup).  Nets that
+    legitimately have no wide layers (e.g. a 128-wide GCN posenet) should
+    not be passed here."""
+    if mesh is None or mesh.shape.get("model", 1) == 1:
+        return
+    for tree in trees:
+        for x in jax.tree.leaves(tree):
+            spec = getattr(getattr(x, "sharding", None), "spec", None)
+            if spec is not None and "model" in spec:
+                return
+    raise SystemExit(
+        f"--model_parallel_devices {mesh.shape['model']} sharded no layer "
+        f"of the {what}: no Dense width >= {TP_MIN_WIDTH} is divisible by "
+        f"{mesh.shape['model']}. Pick a divisor of Gen_DenseDim / "
+        "Dis_DenseDim (defaults 1000) or drop --model_parallel_devices.")
 
 
 def place_state(mesh: Mesh, tree, min_width: int = TP_MIN_WIDTH):

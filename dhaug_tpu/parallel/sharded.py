@@ -11,7 +11,6 @@ mega-step used to live here but no runner used it and it was removed.)
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 from dhaug_tpu.models.generator import GeneratorConfig, sample_scaler8, synthesize_poses
 

@@ -44,7 +44,8 @@ def main(argv=None):
     from dhaug_tpu.train.state import adam_gan, make_state
 
     B, DENSE, SCAN = args.batch, args.dense, args.scan
-    on_tpu = jax.devices()[0].platform not in ("cpu",)
+    from dhaug_tpu.ops.fk_pallas import fk_pallas_supported
+    on_tpu = fk_pallas_supported()
     print(f"backend={jax.default_backend()} B={B} dense={DENSE} scan={SCAN}")
 
     key = jax.random.PRNGKey(0)

@@ -25,9 +25,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def measure(n_batches: int = 80, reps: int = 3, verbose: bool = True) -> dict:
     """Measure the production video epoch program's per-iteration cost and
-    return {"iters_per_sec", "ms_per_iter"} (best of ``reps`` dispatches of
-    ``n_batches`` iterations each).  Also imported by bench.py for its
-    video JSON line."""
+    return {"iters_per_sec", "ms_per_iter"} (median of ``reps`` dispatches
+    of ``n_batches`` iterations each — the same statistic as bench.py's
+    other lines).  Also imported by bench.py for its video JSON line."""
     import jax
     jax.config.update("jax_compilation_cache_dir",
                       os.environ.get("JAX_COMPILATION_CACHE_DIR",
@@ -91,9 +91,13 @@ def measure(n_batches: int = 80, reps: int = 3, verbose: bool = True) -> dict:
             f"{n_batches / dt:.2f} iters/s ({dt / n_batches * 1000:.1f} "
             f"ms/iter), w3d={w:.4f}", flush=True)
 
-    best = min(times)
-    return {"iters_per_sec": n_batches / best,
-            "ms_per_iter": best / n_batches * 1000.0}
+    # median, not min: bench.py embeds this next to median-based GAN-iter
+    # and poses/s lines, and under the tunnel's ±25-30% run-to-run variance
+    # a min would be systematically optimistic relative to them
+    import statistics
+    mid = statistics.median(times)
+    return {"iters_per_sec": n_batches / mid,
+            "ms_per_iter": mid / n_batches * 1000.0}
 
 
 def main():

@@ -170,7 +170,9 @@ def main_video(opts):
 
     from dhaug_tpu.gan.video import build_video_gan, run_video_gan_epoch
     from dhaug_tpu.models.factory import init_posenet, make_posenet
-    from dhaug_tpu.train.posenet import (evaluate, make_posenet_epoch_fn,
+    from dhaug_tpu.data.chunked import UnchunkedSequences
+    from dhaug_tpu.train.posenet import (evaluate, evaluate_sequences,
+                                         make_posenet_epoch_fn,
                                          make_video_window_epoch_fn)
     from dhaug_tpu.train.state import adam_posenet, make_state
     from dhaug_tpu.train.video_runner import (_video_eval_batches,
@@ -265,10 +267,17 @@ def main_video(opts):
         pos_state, _ = _timed("posenet real pass", real_pass)
 
         def one_eval():
-            h36m = evaluate(forward, pos_state.params, pos_state.batch_stats,
-                            _video_eval_batches(h36m_eval, args.batch_size, rf))
-            dhp = evaluate(forward, pos_state.params, pos_state.batch_stats,
-                           _video_eval_batches(mpi3d_eval, args.batch_size, rf),
+            # mirror the production protocol (train/video_runner.py):
+            # sequence-weighted aggregation for whole-sequence loaders and
+            # the DEFAULT padding bucket — passing rf here would give nearly
+            # every sequence length its own XLA shape (a fresh remote
+            # compile each) and measure a non-production eval
+            eval_agg = evaluate_sequences \
+                if isinstance(h36m_eval, UnchunkedSequences) else evaluate
+            h36m = eval_agg(forward, pos_state.params, pos_state.batch_stats,
+                            _video_eval_batches(h36m_eval, args.batch_size))
+            dhp = eval_agg(forward, pos_state.params, pos_state.batch_stats,
+                           _video_eval_batches(mpi3d_eval, args.batch_size),
                            flip_forward=flip_forward)
             return h36m, dhp
         _timed("eval (h36m + 3dhp)", one_eval)

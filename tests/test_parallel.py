@@ -46,6 +46,25 @@ def test_mesh_from_args_model_parallel():
                                        batch_size=64))
 
 
+def test_assert_model_sharded():
+    """A non-unit 'model' axis that sharded NOTHING must fail loudly (a
+    --model_parallel_devices value dividing no dense width would otherwise
+    silently replicate everything, model_axis x the chips for no speedup);
+    with at least one sharded leaf, or a pure-dp mesh, it passes."""
+    from dhaug_tpu.parallel.mesh import assert_model_sharded, place_state
+    mesh = make_mesh(8, model_axis=2)
+    # widths 33 (indivisible by 2) and 32 (divisible)
+    bad = {"w": jnp.zeros((8, 33))}
+    good = {"w": jnp.zeros((8, 32))}
+    with pytest.raises(SystemExit, match="sharded no layer"):
+        assert_model_sharded(mesh, place_state(mesh, bad, min_width=16))
+    assert_model_sharded(mesh, place_state(mesh, bad, min_width=16),
+                         place_state(mesh, good, min_width=16))
+    # pure data parallelism and no mesh are always fine
+    assert_model_sharded(make_mesh(8), replicate(make_mesh(8), bad))
+    assert_model_sharded(None, bad)
+
+
 def test_shard_batch_layout():
     mesh = make_mesh(8)
     x = jnp.arange(16 * 3, dtype=jnp.float32).reshape(16, 3)
