@@ -272,6 +272,71 @@ class TestDetectionKeypoints:
         assert np.abs(bundle.h36m_test.poses_2d - h_proj).max() > 1e-3
 
 
+    def test_video_mode_det_gt_asymmetry(self, data_root):
+        """The det/GT asymmetry extends to VIDEO mode: the posenet train
+        windows and the eval sequences carry the loaded detections, while
+        the per-epoch GAN clip loader rebuilt by video_reskin_update
+        carries projections of the re-skinned 3D (the reference fetches
+        detections at video_mode_operate.py:447-452 and rebuilds only
+        target_GAN_loader from projections at :898-966)."""
+        import jax.numpy as jnp
+
+        from dhaug_tpu.ops.camera import project_to_2d
+        from dhaug_tpu.train.config import parse_aug_args
+        from dhaug_tpu.train.video_runner import (video_data_preparation,
+                                                  video_reskin_update)
+        args = parse_aug_args([
+            "--posenet_name", "mulit_farme_videopose",
+            "--architecture", "3,3",
+            "--single_or_multi_train_mode", "multi",
+            "--keypoints", "cpn", "--s1only", "true",
+            "--batch_size", "32", "--data_root", data_root])
+        (bundle, train_loader, _gl, h36m_eval, _mpi,
+         rf) = video_data_preparation(args)
+
+        # posenet train windows: detections, NOT projections of the 3D
+        proj = np.asarray(project_to_2d(
+            jnp.asarray(np.concatenate(bundle.poses_train)),
+            jnp.asarray(np.concatenate(
+                [np.tile(np.asarray(c, np.float32)[None, :9],
+                         (len(s), 1))
+                 for c, s in zip(bundle.cams_train, bundle.poses_train)]))))
+        det = np.concatenate(bundle.poses_train_2d)
+        assert np.abs(det - proj).max() > 1e-3
+
+        # eval sequences keep the detections too
+        eproj = np.asarray(project_to_2d(
+            jnp.asarray(h36m_eval.poses_3d[0]),
+            jnp.broadcast_to(
+                jnp.asarray(np.asarray(h36m_eval.cams[0],
+                                       np.float32)[:9])[None],
+                (h36m_eval.poses_3d[0].shape[0], 9))))
+        assert np.abs(h36m_eval.poses_2d[0] - eproj).max() > 1e-3
+
+        # the re-skinned GAN clip loader: 2D == projection of its 3D
+        # (detector noise gone).  big3d/big2d are edge-padded identically
+        # (full_3d_window=True) and projection commutes with frame
+        # repetition, so the padded concatenations compare directly.
+        templates = np.load(os.path.join(
+            data_root, "data_extra", "bone_length_npy",
+            "hm36s15678_bl_templates.npy"))
+        gan_loader = video_reskin_update(args, bundle, templates,
+                                         np.random.default_rng(0))
+        pad = (rf - 1) // 2
+        padcams = np.concatenate(
+            [np.tile(np.asarray(c, np.float32)[None, :9],
+                     (len(s) + 2 * pad, 1))
+             for c, s in zip(bundle.cams_train, bundle.poses_train)])
+        gproj = np.asarray(project_to_2d(jnp.asarray(gan_loader.big3d),
+                                         jnp.asarray(padcams)))
+        np.testing.assert_allclose(gan_loader.big2d, gproj,
+                                   rtol=2e-4, atol=1e-5)
+        # …and it is not the detections (interior of sequence 0)
+        n0 = len(bundle.poses_train_2d[0])
+        assert np.abs(gan_loader.big2d[pad:pad + n0]
+                      - bundle.poses_train_2d[0]).max() > 1e-3
+
+
 class TestSynthetic:
     def test_fixture_formats(self, data_root):
         d3 = np.load(os.path.join(data_root, "data", "data_3d_h36m.npz"),
