@@ -34,9 +34,11 @@ def _add_common(parser: argparse.ArgumentParser):
     parser.add_argument("--random_seed", type=int, default=0)
     parser.add_argument("--downsample", default=1, type=int, metavar="FACTOR")
     parser.add_argument("--pretrain", default=False, type=_str2bool,
-                        help="accepted for CLI compatibility; a no-op — the "
-                             "reference's pretrain branch is `pass` "
-                             "(run_Fk_GAN.py:107)")
+                        help="with --evaluate <ckpt>: load the pretrained "
+                             "posenet and evaluate once, no training (the "
+                             "reference's intent at run_Fk_GAN.py:107,238; "
+                             "its loader globs a hardcoded empty path and "
+                             "crashes — here it works via run_evaluate)")
     parser.add_argument("--s1only", default=False, type=_str2bool)
     parser.add_argument("--num_workers", default=0, type=int, metavar="N",
                         help="accepted for CLI compatibility; the host feed is single-process")
@@ -75,12 +77,17 @@ def get_aug_parser() -> argparse.ArgumentParser:
     _add_common(parser)
     parser.add_argument("--snapshot", default=2, type=int)
     parser.add_argument("--resume", default="", type=str, metavar="FILENAME")
-    parser.add_argument("--decay_epoch", default=0, type=int, metavar="N")
+    parser.add_argument("--decay_epoch", default=0, type=int, metavar="N",
+                        help="accepted for CLI compatibility; dead in the "
+                             "reference too (parsed, never read)")
     parser.add_argument("--lr_g", default=1.0e-4, type=float, metavar="LR")
     parser.add_argument("--lr_d", default=1.0e-4, type=float, metavar="LR")
     parser.add_argument("--lr_p", default=1.0e-4, type=float, metavar="LR")
     parser.add_argument("--warmup", default=2, type=int)
-    parser.add_argument("--df", default=2, type=int)
+    parser.add_argument("--df", default=2, type=int,
+                        help="accepted for CLI compatibility; dead in the "
+                             "reference too (parsed, never read — its "
+                             "critic cadence is hardcoded n_critic=5)")
     parser.add_argument("--s1s5only", default=False, type=_str2bool)
     parser.add_argument("--data_enhancement_method", default="GAN", type=str,
                         help="GAN | normal | NO_enhance")
@@ -110,7 +117,10 @@ def get_aug_parser() -> argparse.ArgumentParser:
     parser.add_argument("--set_demo_mode", default=False, type=_str2bool,
                         help="accepted for CLI compatibility; dead in the "
                              "reference too (parsed, never read)")
-    parser.add_argument("--GAN_checkpoint", default="checkpoint", type=str)
+    parser.add_argument("--GAN_checkpoint", default="checkpoint", type=str,
+                        help="accepted for CLI compatibility; dead in the "
+                             "reference too (parsed, never read — GAN "
+                             "weights ride the full-state --snapshot here)")
     parser.add_argument("--GAN_resume", default="", type=str, metavar="FILENAME")
     parser.add_argument("--record_all_picture", default=False, type=_str2bool)
     parser.add_argument("--additional_train_epoch", default=60, type=int)

@@ -267,6 +267,37 @@ def main(argv=None):
     from dhaug_tpu.train.config import parse_aug_args
     args = parse_aug_args(argv)
 
+    if args.pretrain:
+        # The reference's --pretrain intent (run_Fk_GAN.py:107,238 +
+        # model_pos_preparation.py:72-83): load a pretrained posenet and
+        # skip training, evaluating once.  Its loader globs a hardcoded
+        # EMPTY path (bit-rotted, crashes) and the single-frame branch is
+        # `pass`; here both modes delegate to run_evaluate's working
+        # eval-only path with the checkpoint from --evaluate.
+        if not args.evaluate:
+            raise SystemExit("--pretrain true requires --evaluate "
+                             "<posenet checkpoint>")
+        import run_evaluate
+        fwd = ["--evaluate", args.evaluate,
+               "--posenet_name", args.posenet_name,
+               "--architecture", args.architecture,
+               "--stages", str(args.stages),
+               "--dropout", str(args.dropout),
+               "--batch_size", str(args.batch_size),
+               "--downsample", str(args.downsample),
+               "--data_root", args.data_root,
+               "--keypoints", args.keypoints,
+               "--synthetic_data", str(bool(args.synthetic_data)).lower(),
+               # (no --s1s5only: the baseline parser lacks it, like the
+               # reference's; the train-subject subset is irrelevant to the
+               # S9/S11 + 3DHP evaluation anyway)
+               "--s1only", str(bool(args.s1only)).lower()]
+        if args.jax_platform:
+            fwd += ["--jax_platform", args.jax_platform]
+        print("==> --pretrain true: evaluating the pretrained posenet "
+              "(no training)")
+        return run_evaluate.main(fwd)
+
     from dhaug_tpu.train.runners import setup_jax
     setup_jax(args)
 

@@ -177,6 +177,25 @@ def test_fk_gan_resume_roundtrip(workdir):
     assert p3.returncode == 0, p3.stderr[-2000:]
     assert "H36M" in p3.stdout
 
+    # --pretrain true: run_Fk_GAN loads the pretrained posenet and
+    # evaluates once, with NO training (the reference's bit-rotted intent,
+    # run_Fk_GAN.py:107,238, made to work)
+    p4 = run_cli("run_Fk_GAN.py", "--pretrain", "true", "--evaluate",
+                 sorted(ckpts)[-1], "--posenet_name", "mlp", "--stages", "1",
+                 *COMMON)
+    assert p4.returncode == 0, p4.stderr[-2000:]
+    assert "no training" in p4.stdout and "H36M" in p4.stdout
+    assert "Epoch:" not in p4.stdout
+    # identical scores through both entry points
+    import re
+    assert re.search(r"H36M\s*: P1 [\d.]+", p3.stdout).group() \
+        == re.search(r"H36M\s*: P1 [\d.]+", p4.stdout).group()
+    # and it refuses to run without a checkpoint
+    p5 = run_cli("run_Fk_GAN.py", "--pretrain", "true", "--posenet_name",
+                 "mlp", *COMMON)
+    assert p5.returncode != 0 and "requires --evaluate" in (p5.stderr +
+                                                            p5.stdout)
+
 
 @pytest.mark.slow
 def test_synthesize_dataset_roundtrip(workdir):

@@ -2354,3 +2354,92 @@ class TestEvalProtocolParity:
         fw = frame_weighted(forward, params, stats,
                             _video_eval_batches(h36m_loader, batch_size=4))
         assert abs(fw["p1"] - exp_h36m_p1) > self.TOL_MM
+
+
+class TestConfigFlagParity:
+    """Every reference CLI flag exists in the rebuild's parsers, with the
+    same defaults except a short deliberate-deviation list.  The reference
+    parsers call parse_args() on sys.argv inside get_parse_args
+    (function_aug/config.py:5, function_baseline/config.py:5), so their
+    add_argument calls are read via AST instead of executing them."""
+
+    # flag -> (reference default, rebuild default, why the deviation is ok)
+    ALLOWED = {
+        "--no_max": (None, True, "store_false action: the reference sets no "
+                     "explicit default on the flag itself; dest max_norm "
+                     "defaults True in both"),
+        "--GAN_checkpoint": ("/media/hlz/3c948a72-4c5c-40ee-a460-ad3d9f94922f"
+                             "/checkpoint", "checkpoint",
+                             "the reference default is the author's personal "
+                             "disk path (and the flag is dead there)"),
+        "--Path_3DPW": ("/media/hlz/3c948a72-4c5c-40ee-a460-ad3d9f94922f"
+                        "/3DPW_dataSet", "",
+                        "author's personal disk path; empty = disabled here"),
+        "--record_all_picture": (True, False,
+                                 "deliberate: per-epoch matplotlib dumps are "
+                                 "opt-in on TPU (host-side cost); the flag "
+                                 "itself is fully implemented"),
+        "--num_workers": ((0, 2), 0, "torch DataLoader worker pool (aug "
+                          "default 0, baseline default 2); the host feed "
+                          "here is single-process (flag is an accepted "
+                          "no-op)"),
+    }
+
+    @staticmethod
+    def _ref_flags(path):
+        import ast
+        out = {}
+        for node in ast.walk(ast.parse(open(path).read())):
+            if isinstance(node, ast.Call) and \
+                    isinstance(node.func, ast.Attribute) and \
+                    node.func.attr == "add_argument":
+                names = [a.value for a in node.args
+                         if isinstance(a, ast.Constant)
+                         and isinstance(a.value, str)
+                         and a.value.startswith("--")]
+                default = None
+                for kw in node.keywords:
+                    if kw.arg == "default":
+                        try:
+                            default = ast.literal_eval(kw.value)
+                        except Exception:
+                            default = "<expr>"
+                for n in names:
+                    out[n] = default
+        return out
+
+    @staticmethod
+    def _repo_flags(parser):
+        out = {}
+        for a in parser._actions:
+            for s in a.option_strings:
+                if s.startswith("--"):
+                    out[s] = a.default
+        return out
+
+    @pytest.mark.parametrize("ref_cfg,make_parser", [
+        ("function_aug/config.py", "get_aug_parser"),
+        ("function_baseline/config.py", "get_baseline_parser"),
+    ])
+    def test_every_reference_flag_present_with_same_default(
+            self, ref_cfg, make_parser):
+        import os
+
+        from dhaug_tpu.train import config as repo_config
+        from tests.ref_import import REFERENCE_ROOT
+        ref = self._ref_flags(os.path.join(REFERENCE_ROOT, ref_cfg))
+        repo = self._repo_flags(getattr(repo_config, make_parser)())
+
+        missing = sorted(set(ref) - set(repo))
+        assert not missing, f"reference flags absent from the rebuild: {missing}"
+
+        for flag, rdef in ref.items():
+            if rdef == "<expr>" or flag in self.ALLOWED:
+                if flag in self.ALLOWED:
+                    exp_ref, exp_repo, _why = self.ALLOWED[flag]
+                    ok_ref = rdef in exp_ref if isinstance(exp_ref, tuple) \
+                        else rdef == exp_ref
+                    assert ok_ref and repo[flag] == exp_repo, flag
+                continue
+            assert repo[flag] == rdef, \
+                f"{flag}: reference default {rdef!r} != rebuild {repo[flag]!r}"
