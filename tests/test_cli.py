@@ -35,6 +35,41 @@ def workdir(tmp_path_factory):
     return str(tmp_path_factory.mktemp("cli"))
 
 
+def test_reference_readme_commands_parse_verbatim():
+    """The two training commands the reference README documents
+    (/root/reference/README.md:99,102) must parse unchanged (BASELINE.json
+    requires the reference CLI surface to port verbatim)."""
+    import shlex
+
+    from dhaug_tpu.train.config import parse_aug_args
+    single = shlex.split(
+        "--note posefk --posenet_name 'videopose' --lr_p 1e-4 "
+        "--checkpoint './checkpoint/posefk' --keypoints gt --s1only False "
+        "--GAN_whether_use_preAngle True --video_over_200mm False "
+        "--batch_size 1024 --data_enhancement_method 'GAN' "
+        "--additional_LR_decay 0.95 --Gen_DenseDim 256 "
+        "--Dis_DenseDim_3D 256 --Dis_DenseDim_2D 256")
+    a = parse_aug_args(single)
+    assert (a.posenet_name, a.lr_p, a.batch_size) == ("videopose", 1e-4, 1024)
+    assert a.data_enhancement_method == "GAN" and not a.s1only
+    assert a.GAN_whether_use_preAngle and not a.video_over_200mm
+    assert a.Gen_DenseDim == 256
+
+    video = shlex.split(
+        "--note posefk --posenet_name 'mulit_farme_videopose' --lr_p 1e-3 "
+        "--checkpoint './checkpoint/posefk' --keypoints gt --s1only False "
+        "--GAN_whether_use_preAngle True --single_or_multi_train_mode multi "
+        "--video_over_200mm False --batch_size 512 "
+        "--data_enhancement_method 'GAN' --downsample 10 "
+        "--additional_LR_decay 0.95 --warmup 20 "
+        "--single_dis_warmup_epoch 4 --architecture '3,3'")
+    v = parse_aug_args(video)
+    assert v.posenet_name == "mulit_farme_videopose"
+    assert v.single_or_multi_train_mode == "multi"
+    assert (v.downsample, v.warmup, v.single_dis_warmup_epoch) == (10, 20, 4)
+    assert v.architecture == "3,3" and v.batch_size == 512
+
+
 @pytest.mark.slow
 def test_baseline_then_evaluate(workdir):
     proc = run_cli("run_baseline.py", "--posenet_name", "mlp",
