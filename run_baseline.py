@@ -21,6 +21,19 @@ def main(argv=None):
     from dhaug_tpu.train.config import parse_baseline_args
     args = parse_baseline_args(argv)
 
+    if args.pretrain:
+        # The reference consumes --pretrain in its posenet factory
+        # (model_pos_preparation.py:72-83) but the loader globs a hardcoded
+        # EMPTY path and crashes; the working intent — load a pretrained
+        # posenet and evaluate without training — is run_evaluate's job
+        if not args.evaluate:
+            raise SystemExit("--pretrain true requires --evaluate "
+                             "<posenet checkpoint>")
+        import run_evaluate
+        print("==> --pretrain true: evaluating the pretrained posenet "
+              "(no training)")
+        return run_evaluate.main(argv)
+
     from dhaug_tpu.train.runners import setup_jax
     setup_jax(args)
 

@@ -70,6 +70,18 @@ def test_reference_readme_commands_parse_verbatim():
     assert v.architecture == "3,3" and v.batch_size == 512
 
 
+def test_pretrain_requires_checkpoint():
+    """--pretrain true without --evaluate fails fast on both training CLIs
+    (the reference's pretrain loader globs a hardcoded empty path and
+    crashes with a bare assert; here the intent works via run_evaluate and
+    the missing-checkpoint case gets an actionable message)."""
+    import run_baseline
+    import run_Fk_GAN
+    for entry in (run_baseline.main, run_Fk_GAN.main):
+        with pytest.raises(SystemExit, match="requires --evaluate"):
+            entry(["--pretrain", "true", "--posenet_name", "mlp"])
+
+
 @pytest.mark.slow
 def test_baseline_then_evaluate(workdir):
     proc = run_cli("run_baseline.py", "--posenet_name", "mlp",
