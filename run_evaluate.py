@@ -5,7 +5,10 @@ CLI-compatible rebuild of DH-AUG_master/run_evaluate.py.  Accepts
 checkpoints from both run_baseline.py ('state_dict') and run_Fk_GAN.py
 ('model_pos') — the reference crashes on the latter (SURVEY.md §2.2) — and
 evaluates video-mode (mulit_farme_*) checkpoints with whole-sequence
-inference, which the reference cannot do at all.
+inference, which the reference cannot do at all.  Reference-trained torch
+checkpoints (ckpt_*.pth.tar, utils/utils.py:129-134) are auto-detected and
+transplanted onto the flax trees for all five posenets
+(dhaug_tpu/utils/transplant.py), so real DH-AUG weights score here directly.
 
 Examples:
     python run_evaluate.py --evaluate checkpoint/.../ckpt_best.ckpt \
@@ -33,8 +36,20 @@ def main(argv=None):
     from dhaug_tpu.models.factory import init_posenet, make_posenet
     from dhaug_tpu.train.posenet import evaluate, make_posenet_eval_step
     from dhaug_tpu.utils.checkpoint import load_snapshot, restore_into
+    from dhaug_tpu.utils.transplant import (is_torch_checkpoint,
+                                            load_torch_checkpoint)
 
-    ckpt = load_snapshot(args.evaluate)
+    torch_state = None
+    if is_torch_checkpoint(args.evaluate):
+        # reference-trained torch checkpoint (ckpt_*.pth.tar, both the
+        # 'state_dict' and 'model_pos' key layouts — the reference's own
+        # run_evaluate.py:30-31 crashes on the latter, SURVEY §2.2); the
+        # weights are transplanted onto the flax tree after model init
+        torch_state = load_torch_checkpoint(args.evaluate)
+        ckpt = {}
+        print(f"==> Reference torch checkpoint: {len(torch_state)} tensors")
+    else:
+        ckpt = load_snapshot(args.evaluate)
     # older checkpoints stored the name as a 0-d numpy str array
     posenet_name = str(ckpt.get("posenet_name", args.posenet_name))
     # write the resolved name back: video_data_preparation branches on
@@ -60,6 +75,12 @@ def main(argv=None):
                          dropout=args.dropout, architecture=args.architecture,
                          skeleton=bundle.dataset.skeleton(), flag="test")
     params, batch_stats = init_posenet(model, jax.random.PRNGKey(0), example)
+    if torch_state is not None:
+        from dhaug_tpu.utils.transplant import transplant_posenet_state_dict
+        params, batch_stats = transplant_posenet_state_dict(
+            posenet_name, torch_state, params, batch_stats)
+        ckpt = {"state_dict": params,
+                "batch_stats": batch_stats if batch_stats else None}
     saved = ckpt.get("state_dict", ckpt.get("model_pos"))
     if saved is None and "pos_state" in ckpt:
         # full-state resume checkpoint (run_Fk_GAN --snapshot / --resume):

@@ -2443,3 +2443,208 @@ class TestConfigFlagParity:
                 continue
             assert repo[flag] == rdef, \
                 f"{flag}: reference default {rdef!r} != rebuild {repo[flag]!r}"
+
+
+class TestTorchCheckpointTransplant:
+    """The PRODUCTION state_dict transplanter (dhaug_tpu/utils/transplant.py,
+    round-4 VERDICT missing #2) vs the executed reference forwards for all
+    five posenets, plus the run_evaluate.py .pth.tar end-to-end path.
+
+    The module-based transplanters above pin the layer mappings; these tests
+    pin the NAME-based production mapping a user's real DH-AUG checkpoint
+    (utils/utils.py:129-134) goes through."""
+
+    @staticmethod
+    def _sd(ref_m):
+        """ref module -> {name: ndarray} exactly as load_torch_checkpoint
+        returns it (owned float32 copies, BN counters dropped)."""
+        return {k: np.array(v.detach().numpy(), copy=True)
+                for k, v in ref_m.state_dict().items()
+                if not k.endswith("num_batches_tracked")}
+
+    def _check_forward(self, ref_m, mine, name, x, atol=1e-5):
+        from dhaug_tpu.utils.transplant import transplant_posenet_state_dict
+        variables = mine.init({"params": jax.random.PRNGKey(0),
+                               "dropout": jax.random.PRNGKey(1)},
+                              jnp.asarray(x), train=False)
+        params, stats = transplant_posenet_state_dict(
+            name, self._sd(ref_m), variables["params"],
+            variables.get("batch_stats"))
+        with torch.no_grad():
+            expected = ref_m(torch.from_numpy(x)).numpy()
+        apply_vars = {"params": params}
+        if stats:
+            apply_vars["batch_stats"] = stats
+        got = np.asarray(mine.apply(apply_vars, jnp.asarray(x), train=False))
+        np.testing.assert_allclose(got, expected, atol=atol)
+
+    def test_mlp(self, ref):
+        import importlib
+
+        from dhaug_tpu.models.posenets import LinearModel
+        mod = importlib.import_module("models_baseline.mlp.linear_model")
+        torch.manual_seed(40)
+        ref_m = mod.LinearModel(16 * 2, 15 * 3, linear_size=64, num_stage=2,
+                                p_dropout=0.5)
+        rng = np.random.RandomState(40)
+        _randomize_bn_stats(ref_m, rng)
+        ref_m.eval()
+        mine = LinearModel(linear_size=64, num_stage=2, dropout=0.5)
+        x = rng.normal(size=(8, 16, 2)).astype(np.float32) * 0.3
+        self._check_forward(ref_m, mine, "mlp", x)
+
+    def test_videopose(self, ref):
+        import importlib
+
+        from dhaug_tpu.models.posenets import TemporalPoseNet
+        vp = importlib.import_module(
+            "models_baseline.videopose.model_VideoPose3D")
+        torch.manual_seed(41)
+        ref_m = vp.TemporalModelOptimized1f(16, 2, 15, [1, 1, 1],
+                                            dropout=0.25, channels=64)
+        rng = np.random.RandomState(41)
+        _randomize_bn_stats(ref_m, rng)
+        ref_m.eval()
+        mine = TemporalPoseNet(filter_widths=(1, 1, 1), out_joints=15,
+                               pad_hip_joint=True, channels=64, strided=True)
+        x = rng.normal(size=(8, 16, 2)).astype(np.float32) * 0.3
+        self._check_forward(ref_m, mine, "videopose", x)
+
+    def test_multiframe_videopose(self, ref):
+        import importlib
+
+        from dhaug_tpu.models.posenets import TemporalPoseNet
+        mf = importlib.import_module("models_Fk_GAN.mulit_farme_videopose")
+        torch.manual_seed(42)
+        ref_m = mf.multiFrame_TemporalModelOptimized1f(
+            16, 2, 16, [3, 3], dropout=0.25, channels=64)
+        rng = np.random.RandomState(42)
+        _randomize_bn_stats(ref_m, rng)
+        ref_m.eval()
+        mine = TemporalPoseNet(filter_widths=(3, 3), out_joints=16,
+                               channels=64, strided=True)
+        clip = rng.normal(size=(4, 9, 16, 2)).astype(np.float32) * 0.3
+        self._check_forward(ref_m, mine, "mulit_farme_videopose", clip)
+
+    def test_semgcn(self, ref):
+        import importlib
+
+        from dhaug_tpu.models.posenets import SemGCN, adjacency_from_edges
+        sem = importlib.import_module("models_baseline.gcn.sem_gcn")
+        edges = [(0, 1), (1, 2), (2, 3), (0, 4), (4, 5), (5, 6), (0, 7),
+                 (7, 8), (8, 9), (8, 10), (10, 11), (11, 12), (8, 13),
+                 (13, 14), (14, 15)]
+        adj = adjacency_from_edges(16, edges)
+        torch.manual_seed(43)
+        ref_m = sem.SemGCN(torch.from_numpy(adj), 32, num_layers=2,
+                           p_dropout=0.25)
+        rng = np.random.RandomState(43)
+        _randomize_bn_stats(ref_m, rng)
+        for mod in ref_m.modules():
+            if isinstance(mod, sem.SemGraphConv):
+                mod.e.data.copy_(torch.from_numpy(
+                    rng.normal(scale=0.5, size=mod.e.shape).astype(np.float32)))
+        ref_m.eval()
+        mine = SemGCN(adj=adj, hid_dim=32, num_layers=2, dropout=0.25)
+        x = rng.normal(size=(6, 16, 2)).astype(np.float32) * 0.3
+        self._check_forward(ref_m, mine, "gcn", x)
+
+    def test_poseformer(self, ref):
+        from dhaug_tpu.models.posenets import PoseFormer
+        F, J, C, depth, heads = 9, 16, 16, 2, 4
+        torch.manual_seed(44)
+        ref_m = ref.poseformer.PoseTransformer(
+            num_frame=F, num_joints=J, in_chans=2, embed_dim_ratio=C,
+            depth=depth, num_heads=heads, mlp_ratio=2.0, qkv_bias=True,
+            drop_path_rate=0.2)
+        rng = np.random.RandomState(44)
+        with torch.no_grad():
+            ref_m.Spatial_pos_embed.copy_(torch.from_numpy(
+                rng.normal(scale=0.1, size=(1, J, C)).astype(np.float32)))
+            ref_m.Temporal_pos_embed.copy_(torch.from_numpy(
+                rng.normal(scale=0.1, size=(1, F, C * J)).astype(np.float32)))
+        ref_m.eval()
+        mine = PoseFormer(num_frame=F, num_joints=J, embed_dim_ratio=C,
+                          depth=depth, num_heads=heads, mlp_ratio=2.0,
+                          drop_path_rate=0.2)
+        x = rng.normal(size=(4, F, J, 2)).astype(np.float32) * 0.3
+        self._check_forward(ref_m, mine, "mulit_farme_poseformer", x)
+
+    def test_mismatch_raises(self, ref):
+        """Wrong model dims must fail loudly, not silently mis-score."""
+        import importlib
+
+        from dhaug_tpu.models.posenets import LinearModel
+        from dhaug_tpu.utils.transplant import transplant_posenet_state_dict
+        mod = importlib.import_module("models_baseline.mlp.linear_model")
+        torch.manual_seed(45)
+        ref_m = mod.LinearModel(16 * 2, 15 * 3, linear_size=64, num_stage=2,
+                                p_dropout=0.5)
+        mine = LinearModel(linear_size=32, num_stage=2, dropout=0.5)  # wrong
+        variables = mine.init({"params": jax.random.PRNGKey(0),
+                               "dropout": jax.random.PRNGKey(1)},
+                              jnp.zeros((2, 16, 2)), train=False)
+        with pytest.raises((ValueError, KeyError)):
+            transplant_posenet_state_dict("mlp", self._sd(ref_m),
+                                          variables["params"],
+                                          variables["batch_stats"])
+        # wrong stage count: stage-1 tensors left unconsumed
+        mine1 = LinearModel(linear_size=64, num_stage=1, dropout=0.5)
+        v1 = mine1.init({"params": jax.random.PRNGKey(0),
+                         "dropout": jax.random.PRNGKey(1)},
+                        jnp.zeros((2, 16, 2)), train=False)
+        with pytest.raises(ValueError, match="not consumed"):
+            transplant_posenet_state_dict("mlp", self._sd(ref_m),
+                                          v1["params"], v1["batch_stats"])
+
+    def test_run_evaluate_pth_tar_end_to_end(self, ref, tmp_path):
+        """run_evaluate.py --evaluate ckpt.pth.tar must score a
+        reference-layout torch checkpoint identically (<=1e-3 mm) to the
+        same weights evaluated through the module-based transplant parity
+        path.  The checkpoint uses the 'model_pos' key layout run_Fk_GAN.py
+        saves (:176,181) — the one the reference's own evaluator crashes on."""
+        import importlib
+        import os
+        import sys
+
+        from dhaug_tpu.utils.checkpoint import save_snapshot
+        mod = importlib.import_module("models_baseline.mlp.linear_model")
+        torch.manual_seed(46)
+        ref_m = mod.LinearModel(16 * 2, 15 * 3, linear_size=1024, num_stage=2,
+                                p_dropout=0.5)
+        rng = np.random.RandomState(46)
+        _randomize_bn_stats(ref_m, rng)
+        ref_m.eval()
+
+        # reference-format checkpoint, exactly as utils/utils.py:129-134 +
+        # run_Fk_GAN.py:176 write it
+        pth = str(tmp_path / "ckpt_best_h36m_p1.pth.tar")
+        torch.save({"epoch": 3, "model_pos": ref_m.state_dict()}, pth)
+
+        # independent native checkpoint from the MODULE-based transplanters
+        from dhaug_tpu.models.posenets import LinearModel
+        mine = LinearModel(linear_size=1024, num_stage=2, dropout=0.5)
+        x0 = np.zeros((2, 16, 2), np.float32)
+        variables = mine.init({"params": jax.random.PRNGKey(0),
+                               "dropout": jax.random.PRNGKey(1)},
+                              jnp.asarray(x0), train=False)
+        params, stats = variables["params"], variables["batch_stats"]
+        _transplant_mlp(ref_m, params, stats)
+        native_dir = str(tmp_path / "native")
+        os.makedirs(native_dir, exist_ok=True)
+        save_snapshot({"state_dict": params, "batch_stats": stats,
+                       "posenet_name": "mlp"}, native_dir, suffix="ref")
+
+        sys.path.insert(0, os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        import run_evaluate
+        common = ["--posenet_name", "mlp", "--stages", "2",
+                  "--synthetic_data", "true", "--jax_platform", "cpu",
+                  "--batch_size", "64", "--downsample", "10"]
+        h36m_t, dhp_t = run_evaluate.main(["--evaluate", pth, *common])
+        h36m_n, dhp_n = run_evaluate.main(
+            ["--evaluate", os.path.join(native_dir, "ckpt_ref.ckpt"),
+             *common])
+        assert abs(h36m_t["p1"] - h36m_n["p1"]) <= 1e-3
+        assert abs(dhp_t["p1"] - dhp_n["p1"]) <= 1e-3
+        assert abs(dhp_t["pck"] - dhp_n["pck"]) <= 1e-3
