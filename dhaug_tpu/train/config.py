@@ -159,9 +159,18 @@ def get_baseline_parser() -> argparse.ArgumentParser:
                         help="train on a synthesized (2D, 3D) dataset npz "
                              "(scripts/synthesize_dataset.py output: pose3d "
                              "cam-space metres, pose2d normalized, cam "
-                             "intrinsics) instead of the real H36M train "
-                             "split — the DH-3DHP workflow; evaluation "
-                             "stays on H36M S9/S11 + 3DHP")
+                             "intrinsics) — the DH-3DHP workflow; evaluation "
+                             "stays on H36M S9/S11 + 3DHP.  See "
+                             "--train_npz_mode for replace-vs-mix")
+    parser.add_argument("--train_npz_mode", default="mix", type=str,
+                        choices=["mix", "replace"],
+                        help="how --train_npz combines with the real train "
+                             "split: 'mix' (default) concatenates the "
+                             "synthesized pairs with the real pairs and "
+                             "shuffles them together — the released-dataset "
+                             "augmentation workflow the reference's DH-3DHP "
+                             "download serves (README.md:104-106); "
+                             "'replace' trains on the npz alone")
     parser.add_argument("--lr", default=1.0e-3, type=float, metavar="LR")
     parser.add_argument("--lr_decay", type=int, default=100000)
     parser.add_argument("--lr_gamma", type=float, default=0.96)

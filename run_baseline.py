@@ -4,7 +4,10 @@
 CLI-compatible rebuild of DH-AUG_master/run_baseline.py (whose data path is
 bit-rotted in the reference, SURVEY.md §2.2 — this one runs).  Trains a
 posenet on real H36M 2D->3D pairs with the step-decayed Adam schedule and
-evaluates on H36M S9/S11 and MPI-INF-3DHP every epoch.
+evaluates on H36M S9/S11 and MPI-INF-3DHP every epoch.  `--pretrain true
+--evaluate <ckpt>` warm-starts training from a posenet checkpoint (native or
+reference .pth.tar) — the reference factory's intent
+(model_pos_preparation.py:72-83), whose own loader is bit-rotted.
 
 Example:
     python run_baseline.py --posenet_name videopose --keypoints gt \
@@ -21,18 +24,17 @@ def main(argv=None):
     from dhaug_tpu.train.config import parse_baseline_args
     args = parse_baseline_args(argv)
 
-    if args.pretrain:
+    if args.pretrain and not args.evaluate:
         # The reference consumes --pretrain in its posenet factory
-        # (model_pos_preparation.py:72-83) but the loader globs a hardcoded
-        # EMPTY path and crashes; the working intent — load a pretrained
-        # posenet and evaluate without training — is run_evaluate's job
-        if not args.evaluate:
-            raise SystemExit("--pretrain true requires --evaluate "
-                             "<posenet checkpoint>")
-        import run_evaluate
-        print("==> --pretrain true: evaluating the pretrained posenet "
-              "(no training)")
-        return run_evaluate.main(argv)
+        # (model_pos_preparation.py:72-83): load pretrained posenet weights,
+        # then the training loop RUNS from them (warm-start fine-tuning —
+        # the flag's help says 'used in poseaug').  Its loader globs a
+        # hardcoded EMPTY path and crashes; here the checkpoint comes from
+        # --evaluate (native .ckpt/orbax or a reference .pth.tar).
+        # run_Fk_GAN's --pretrain keeps its distinct eval-only semantics
+        # (run_Fk_GAN.py:107,238).
+        raise SystemExit("--pretrain true requires --evaluate "
+                         "<posenet checkpoint>")
 
     from dhaug_tpu.train.runners import setup_jax
     setup_jax(args)
@@ -72,6 +74,31 @@ def main(argv=None):
     n_params = sum(x.size for x in jax.tree.leaves(params))
     print(f"==> Total parameters: {n_params / 1e6:.2f}M")
 
+    if args.pretrain:
+        # warm-start fine-tuning: load the posenet weights, then TRAIN from
+        # them (the reference factory's intent, model_pos_preparation.py:72-83
+        # feeding the training loop at run_baseline.py:50)
+        from dhaug_tpu.utils.checkpoint import load_snapshot, restore_into
+        from dhaug_tpu.utils.transplant import (is_torch_checkpoint,
+                                                load_torch_checkpoint,
+                                                transplant_posenet_state_dict)
+        if is_torch_checkpoint(args.evaluate):
+            params, batch_stats = transplant_posenet_state_dict(
+                args.posenet_name, load_torch_checkpoint(args.evaluate),
+                params, batch_stats)
+        else:
+            ckpt = load_snapshot(args.evaluate)
+            saved = ckpt.get("state_dict", ckpt.get("model_pos"))
+            if saved is None:
+                raise SystemExit(
+                    f"--pretrain checkpoint {args.evaluate} has no "
+                    f"'state_dict'/'model_pos' (keys: {sorted(ckpt)})")
+            params = restore_into(params, saved)
+            if ckpt.get("batch_stats"):
+                batch_stats = restore_into(batch_stats, ckpt["batch_stats"])
+        print(f"==> Pretrained posenet loaded from {args.evaluate} "
+              "(warm-start fine-tuning)")
+
     tx = adam_posenet(args.lr, max_norm=1.0 if args.max_norm else 1e9)
     state = make_state(tx, params, batch_stats)
     epoch_fn = make_posenet_epoch_fn(model, tx, criterion="mse",
@@ -81,24 +108,40 @@ def main(argv=None):
                                     mesh=mesh)
     # the train split is static: upload once for every epoch's index gathers
     if getattr(args, "train_npz", ""):
-        # DH-3DHP workflow: train on a synthesized dataset
-        # (scripts/synthesize_dataset.py), evaluate on the real sets
+        # DH-3DHP workflow: a synthesized dataset
+        # (scripts/synthesize_dataset.py) either MIXED into the real train
+        # split (--train_npz_mode mix, default — the reference's released
+        # DH-3DHP download is an augmentation add-on, README.md:104-106) or
+        # trained on alone (replace); evaluation stays on the real sets
         synth = np.load(args.train_npz)
         for key_name in ("pose3d", "pose2d"):
             if key_name not in synth:
                 raise SystemExit(
                     f"--train_npz {args.train_npz} is missing '{key_name}' "
                     "(expected a scripts/synthesize_dataset.py output)")
-        if synth["pose3d"].shape[0] < args.batch_size:
+        s2d = synth["pose2d"].astype(np.float32)
+        s3d = synth["pose3d"].astype(np.float32)
+        mode = getattr(args, "train_npz_mode", "mix")
+        if mode == "mix":
+            # concatenate; train_epoch_scan's per-epoch permutation shuffles
+            # real and synthesized pairs together, like the GAN schedule's
+            # interleaving at dataset granularity
+            s2d = np.concatenate([bundle.train_det2d3d.poses_2d, s2d])
+            s3d = np.concatenate([bundle.train_det2d3d.poses_3d, s3d])
+            print(f"==> Mixing {synth['pose3d'].shape[0]} synthesized poses "
+                  f"into {bundle.train_det2d3d.poses_2d.shape[0]} real "
+                  f"training pairs ({args.train_npz})")
+        else:
+            print(f"==> Training on synthesized dataset {args.train_npz} "
+                  f"ALONE: {s3d.shape[0]} poses")
+        if s3d.shape[0] < args.batch_size:
             raise SystemExit(
-                f"--train_npz {args.train_npz} has only "
-                f"{synth['pose3d'].shape[0]} poses < --batch_size "
+                f"--train_npz {args.train_npz} ({mode}) yields only "
+                f"{s3d.shape[0]} poses < --batch_size "
                 f"{args.batch_size}: zero training steps per epoch. "
                 "Synthesize more poses or lower --batch_size.")
-        print(f"==> Training on synthesized dataset {args.train_npz}: "
-              f"{synth['pose3d'].shape[0]} poses")
-        dev2d = jnp.asarray(synth["pose2d"].astype(np.float32))
-        dev3d = jnp.asarray(synth["pose3d"].astype(np.float32))
+        dev2d = jnp.asarray(s2d)
+        dev3d = jnp.asarray(s3d)
         n_train = dev2d.shape[0]
     else:
         dev2d = jnp.asarray(bundle.train_det2d3d.poses_2d)

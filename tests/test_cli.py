@@ -175,6 +175,97 @@ def test_bench_json_contract(workdir):
 
 
 @pytest.mark.slow
+def test_baseline_pretrain_warm_start(workdir):
+    """run_baseline --pretrain is WARM-START fine-tuning (the reference
+    factory's intent, model_pos_preparation.py:72-83 feeding the training
+    loop at run_baseline.py:50): the checkpoint weights load, then training
+    continues from them.  run_Fk_GAN's --pretrain stays eval-only
+    (run_Fk_GAN.py:107,238) — covered by test_fk_gan_* below."""
+    import re
+    base = os.path.join(workdir, "warm_base")
+    p1 = run_cli("run_baseline.py", "--posenet_name", "mlp", "--stages", "1",
+                 "--epochs", "2", "--checkpoint", base, *COMMON)
+    assert p1.returncode == 0, p1.stderr[-2000:]
+    rows = re.findall(r"Epoch \d+: .*?H36M P1 ([\d.]+)", p1.stdout)
+    cold_ep0 = float(rows[0])
+    best = float(re.search(r"Best H36M P1: ([\d.]+)", p1.stdout).group(1))
+    ckpts = []
+    for root, _, files in os.walk(base):
+        ckpts += [os.path.join(root, f) for f in files if f == "ckpt_best.ckpt"]
+    assert ckpts, "no checkpoint written"
+
+    # 1) near-zero LR: the warm-started first-epoch eval must reproduce the
+    #    checkpoint's score (only BN running-stat drift moves it)
+    p2 = run_cli("run_baseline.py", "--posenet_name", "mlp", "--stages", "1",
+                 "--epochs", "1", "--lr", "1e-12",
+                 "--pretrain", "true", "--evaluate", ckpts[0],
+                 "--checkpoint", os.path.join(workdir, "warm_lr0"), *COMMON)
+    assert p2.returncode == 0, p2.stderr[-2000:]
+    assert "warm-start" in p2.stdout
+    frozen_ep0 = float(re.findall(r"Epoch \d+: .*?H36M P1 ([\d.]+)",
+                                  p2.stdout)[0])
+    assert abs(frozen_ep0 - best) <= 0.10 * best, (frozen_ep0, best)
+
+    # 2) real fine-tune: one epoch from the pretrained weights lands far
+    #    below a cold first epoch (proves the weights actually loaded)
+    p3 = run_cli("run_baseline.py", "--posenet_name", "mlp", "--stages", "1",
+                 "--epochs", "1",
+                 "--pretrain", "true", "--evaluate", ckpts[0],
+                 "--checkpoint", os.path.join(workdir, "warm_ft"), *COMMON)
+    assert p3.returncode == 0, p3.stderr[-2000:]
+    warm_ep0 = float(re.findall(r"Epoch \d+: .*?H36M P1 ([\d.]+)",
+                                p3.stdout)[0])
+    assert warm_ep0 < cold_ep0, (warm_ep0, cold_ep0)
+
+
+def test_bench_check_regression_bands():
+    """`bench.py --check`'s band logic: training lines are control-normalized
+    (tunnel drift cancels, a real regression fails), the synthesis line is a
+    raw check with the wide tunnel-noise band."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "bench_module", os.path.join(REPO, "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    nom = {"synthesis_poses_per_sec": 10e6, "gan_iters_per_sec": 100.0,
+           "video_iters_per_sec": 16.0}
+
+    ok = {"synthesis": {"value": 9.0e6},
+          "gan": {"value": 90.0, "control_ratio": 0.9},
+          "video": {"value": 14.4, "control_ratio": 0.9}}
+    assert bench.check_regression(ok, nom) == []
+
+    # real GAN-path regression: control steady, GAN line down 20%
+    bad = {"synthesis": {"value": 10e6},
+           "gan": {"value": 80.0, "control_ratio": 1.0},
+           "video": {"value": 16.0, "control_ratio": 1.0}}
+    fails = bench.check_regression(bad, nom)
+    assert len(fails) == 1 and fails[0].startswith("gan")
+
+    # tunnel-wide slowdown: everything down 20% together -> the control
+    # normalization cancels it and synthesis stays inside its raw 35% band
+    drift = {"synthesis": {"value": 8e6},
+             "gan": {"value": 80.0, "control_ratio": 0.8},
+             "video": {"value": 12.8, "control_ratio": 0.8}}
+    assert bench.check_regression(drift, nom) == []
+
+    # synthesis collapse beyond the raw band (video line absent, as on CPU)
+    syn_bad = {"synthesis": {"value": 6e6},
+               "gan": {"value": 100.0, "control_ratio": 1.0}, "video": None}
+    fails = bench.check_regression(syn_bad, nom)
+    assert len(fails) == 1 and fails[0].startswith("synthesis")
+
+    # default bands stay wired to the recorded round-4 nominals
+    assert bench.CHECK_NOMINALS["gan_iters_per_sec"] > 0
+    assert bench.check_regression(
+        {"synthesis": {"value": bench.CHECK_NOMINALS["synthesis_poses_per_sec"]},
+         "gan": {"value": bench.CHECK_NOMINALS["gan_iters_per_sec"],
+                 "control_ratio": 1.0},
+         "video": {"value": bench.CHECK_NOMINALS["video_iters_per_sec"],
+                   "control_ratio": 1.0}}) == []
+
+
+@pytest.mark.slow
 def test_fk_gan_resume_roundtrip(workdir):
     """Full-state resume: train 2 epochs with --snapshot 1, resume from the
     snapshot with a higher --epochs, and verify training continues from the
@@ -284,8 +375,10 @@ def test_synthesize_dataset_roundtrip(workdir):
     np.testing.assert_allclose(proj, synth["pose2d"][:64], atol=1e-4)
 
     # the synthesized npz passes the preflight gates a training run applies
+    # (replace mode: train on the npz alone)
     proc2 = run_cli("run_baseline.py", "--posenet_name", "mlp",
-                    "--train_npz", out, "--epochs", "2", "--stages", "1",
+                    "--train_npz", out, "--train_npz_mode", "replace",
+                    "--epochs", "2", "--stages", "1",
                     "--checkpoint", os.path.join(workdir, "synth_train"),
                     *COMMON)
     assert proc2.returncode == 0, proc2.stderr[-2000:]
@@ -294,10 +387,25 @@ def test_synthesize_dataset_roundtrip(workdir):
     best = re.search(r"Best H36M P1: ([\d.]+)", proc2.stdout)
     assert best and float(best.group(1)) > 0
 
+    # mix mode (the default — the released-dataset AUGMENTATION workflow,
+    # reference README.md:104-106): synthesized pairs concatenate with the
+    # real split and train together
+    proc_mix = run_cli("run_baseline.py", "--posenet_name", "mlp",
+                       "--train_npz", out, "--epochs", "1", "--stages", "1",
+                       "--checkpoint", os.path.join(workdir, "synth_mix"),
+                       *COMMON)
+    assert proc_mix.returncode == 0, proc_mix.stderr[-2000:]
+    m = re.search(r"Mixing (\d+) synthesized poses into (\d+) real",
+                  proc_mix.stdout)
+    assert m and int(m.group(1)) == 2000 and int(m.group(2)) > 0
+    best_mix = re.search(r"Best H36M P1: ([\d.]+)", proc_mix.stdout)
+    assert best_mix and float(best_mix.group(1)) > 0
+
     # an npz smaller than the batch would train ZERO steps/epoch while
     # still writing 'best' checkpoints of the init — must be rejected
     proc3 = run_cli("run_baseline.py", "--posenet_name", "mlp",
-                    "--train_npz", out, "--epochs", "1", "--stages", "1",
+                    "--train_npz", out, "--train_npz_mode", "replace",
+                    "--epochs", "1", "--stages", "1",
                     "--checkpoint", os.path.join(workdir, "synth_tiny"),
                     *COMMON, "--batch_size", "4096")  # last --batch_size wins
     assert proc3.returncode != 0
