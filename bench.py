@@ -153,7 +153,8 @@ def main():
             os.path.abspath(__file__)), "scripts"))
         from bench_video_gan import measure as measure_video
         v = measure_video(verbose=False)
-        print(json.dumps({
+        vmfu = _video_iter_flops(512, 9, DENSE) * v["iters_per_sec"] / PEAK_FLOPS
+        video_line = {
             "metric": "video GAN training iterations/s (5-model 12-update "
                       "block, flip+playback+motion, batch 512, rf 9)",
             "value": round(v["iters_per_sec"], 2),
@@ -161,15 +162,19 @@ def main():
             "vs_baseline": round(v["iters_per_sec"]
                                  / TORCH_REFERENCE_VIDEO_GAN_ITERS_PER_SEC, 2),
             "ms_per_iter": round(v["ms_per_iter"], 3),
-            # XLA-counted MFU at this run's measured rate (scripts/
-            # cost_analysis.py's FLOP count; no hand-derived lower bound
-            # exists for the 12-update video block)
+            # hand-counted dense-matmul-only LOWER BOUND + XLA-counted MFU —
+            # the same two-figure schema as the single-frame line
+            "mfu_est": round(vmfu, 6),
+            "mfu_lower_bound": round(vmfu, 6),
             "mfu_xla": round(XLA_GFLOPS_PER_VIDEO_ITER * 1e9
                              * v["iters_per_sec"] / PEAK_FLOPS, 6),
             # same in-process tunnel-load control as the single-frame line
             "control_poses_per_sec": round(pps, 1),
             "control_ratio": round(pps / NOMINAL_TPU_POSES_PER_SEC, 3),
-        }))
+        }
+        print(json.dumps(video_line))
+    else:
+        video_line = None
     gan = bench_gan_training(on_tpu, control_pps=pps)
     print(json.dumps(gan))
     result = {
@@ -179,7 +184,50 @@ def main():
         "vs_baseline": round(pps / TORCH_REFERENCE_POSES_PER_SEC, 2),
     }
     print(json.dumps(result))
-    return result
+    return {"video": video_line, "gan": gan, "synthesis": result}
+
+
+def _tower_fwd(B, in_dim, d, out_dim):
+    """Dense-matmul FLOPs of one ResTower forward (prelude in->d, 3 residual
+    blocks of 2 Dense(d) layers, final d->out) on a batch of B rows."""
+    return 2.0 * B * (in_dim * d + 6 * d * d + d * out_dim)
+
+
+def _video_iter_flops(B: int, F: int, dense: int) -> float:
+    """Analytic matmul-FLOP UNDERCOUNT of one VIDEO GAN training iteration
+    (the 12-critic-update block + 1/5 of the 4-critic generator update) at
+    the production shapes — the video twin of `_gan_iter_flops`, reported as
+    the video line's mfu_lower_bound.  Dense layers only; FK, projection,
+    KCS assembly and elementwise work ignored.
+
+    Per critic update we count 3 forwards (real, fake, GP interpolates),
+    the loss backward (~2x fwd) and the GP double-backward (~2x the GP
+    branch) => ~9 fwd-equivalents, matching the single-frame counting.
+    Updates per iteration: single-frame 3D/2D critics see the clip as B*F
+    frames and update twice each (flip); motion critics see B clips and
+    update four times each (flip x playback) => 12 updates."""
+    d = dense
+    BF = B * F
+    # single-frame critics on B*F frames
+    d3d_fwd = _tower_fwd(BF, 30, d, 1) + _tower_fwd(BF, 48, d, 1) + \
+        2.0 * BF * (2 * d * 100 + 100 * 1)
+    d2d_fwd = 2.0 * BF * (32 * d + 4 * d * d + d * 1)
+    # motion critics on B clips (all four md3d branches on; md2d 2 branches)
+    md3d_fwd = sum(_tower_fwd(B, i, d, 1)
+                   for i in (F * 15, (F - 1) * 15, F * 48, (F - 1) * 48)) + \
+        2.0 * B * (4 * d * 100 + 100 * 1)
+    md2d_fwd = _tower_fwd(B, F * 32, d, 1) + _tower_fwd(B, (F - 1) * 2, d, 1) + \
+        2.0 * B * (2 * d * 100 + 100 * 1)
+    # video generator trunk: 128 -> d -> 3 res blocks -> F*35, on B rows
+    gen_fwd = _tower_fwd(B, 128, d, F * 35)
+
+    per_update = 9.0
+    critic_work = per_update * (2 * d3d_fwd + 2 * d2d_fwd +
+                                4 * md3d_fwd + 4 * md2d_fwd)
+    gen_synth = gen_fwd  # critic-phase fakes, no grad
+    gen_update = (3.0 * gen_fwd +
+                  2.0 * (d3d_fwd + d2d_fwd + md3d_fwd + md2d_fwd)) / 5.0
+    return critic_work + gen_synth + gen_update
 
 
 def _gan_iter_flops(B: int, dense: int) -> float:
@@ -298,5 +346,67 @@ def bench_gan_training(on_tpu: bool, control_pps: float = 0.0):
     return result
 
 
+# --check regression bands: recorded round-4 HEAD measurements on this
+# machine's chip (BENCH_r04.json / BASELINE.md).  The two training lines are
+# CONTROL-NORMALIZED before comparison (value / control_ratio): the synthesis
+# line in the same process serves as the tunnel-load control, so a tunnel
+# slowdown moves value and control together and cancels, while a real
+# GAN-path regression moves only the value.  The synthesis line IS the
+# control, so it gets a raw check with a band wide enough for the ±25-30%
+# run-to-run tunnel variance (CLAUDE.md).
+CHECK_NOMINALS = {
+    "synthesis_poses_per_sec": 11.1e6,
+    "gan_iters_per_sec": 110.9,
+    "video_iters_per_sec": 16.5,
+}
+CHECK_TOLERANCE = 0.15        # control-normalized training lines
+CHECK_TOLERANCE_RAW = 0.35    # raw synthesis line (no control available)
+
+
+def check_regression(results: dict, nominals: dict = None,
+                     tol: float = CHECK_TOLERANCE,
+                     tol_raw: float = CHECK_TOLERANCE_RAW) -> list:
+    """Compare one bench run against the recorded nominal bands; return a
+    list of human-readable failure strings (empty = pass).
+
+    ``results`` is bench.main()'s return value: {"video": line-or-None,
+    "gan": line, "synthesis": line}.  Training lines are divided by their
+    in-process control_ratio to cancel tunnel drift before the band check."""
+    nominals = nominals or CHECK_NOMINALS
+    failures = []
+
+    def band(name, value, nominal, tolerance, normalized_by=None):
+        floor = nominal * (1.0 - tolerance)
+        if value < floor:
+            via = (f" (control-normalized by {normalized_by:.3f})"
+                   if normalized_by else "")
+            failures.append(
+                f"{name}: {value:.2f}{via} < {floor:.2f} "
+                f"({(1 - tolerance) * 100:.0f}% of nominal {nominal:.2f})")
+
+    syn = results.get("synthesis")
+    if syn:
+        band("synthesis poses/s", syn["value"],
+             nominals["synthesis_poses_per_sec"], tol_raw)
+    for key, nom_key in (("gan", "gan_iters_per_sec"),
+                         ("video", "video_iters_per_sec")):
+        line = results.get(key)
+        if not line:
+            continue
+        ratio = line.get("control_ratio") or 1.0
+        band(f"{key} iters/s", line["value"] / ratio, nominals[nom_key],
+             tol, normalized_by=ratio)
+    return failures
+
+
 if __name__ == "__main__":
-    main()
+    import sys
+    res = main()
+    if "--check" in sys.argv[1:]:
+        fails = check_regression(res)
+        if fails:
+            print("PERF REGRESSION:\n  " + "\n  ".join(fails))
+            sys.exit(1)
+        print("perf check OK: all lines within bands "
+              f"(training lines control-normalized, tol {CHECK_TOLERANCE:.0%};"
+              f" synthesis raw, tol {CHECK_TOLERANCE_RAW:.0%})")
