@@ -116,7 +116,17 @@ def main(argv=None):
                 cams_2d.append(project(pose16, normalized_camera(subject, cam_idx)))
             positions_2d[subject][action] = cams_2d
     print(f"==> Saving {OUTPUT_2D}.npz ...")
-    np.savez_compressed(OUTPUT_2D, positions_2d=positions_2d)
+    # metadata rides along exactly as the reference writes it
+    # (DH-AUG_master/data/prepare_data_h36m.py:131-135): the PROCESSED
+    # 16-joint skeleton's size and left/right symmetry groups.  Nothing in
+    # DH-AUG reads it, but VideoPose3D-lineage tooling does.
+    from dhaug_tpu.data.h36m import JOINTS_LEFT_16, JOINTS_RIGHT_16
+    metadata = {
+        "num_joints": len(table),
+        "keypoints_symmetry": [list(JOINTS_LEFT_16), list(JOINTS_RIGHT_16)],
+    }
+    np.savez_compressed(OUTPUT_2D, positions_2d=positions_2d,
+                        metadata=metadata)
     print("Done.")
 
 

