@@ -38,6 +38,15 @@ def main(argv=None):
                          "seed depends on the device count too (recorded as "
                          "'n_devices' in the output npz)")
     ap.add_argument("--jax_platform", default="", type=str)
+    # multi-host (DCN) sharding: run one process per host, all pointed at
+    # the same coordinator; the mesh spans every process's devices, each
+    # shard synthesizes independently, and process 0 writes the npz.  The
+    # (seed, GLOBAL device count) pair pins the dataset, so a 2-process x
+    # 4-device run reproduces the 1-process x 8-device dataset exactly.
+    ap.add_argument("--coordinator", default="", type=str,
+                    help="host:port of process 0 (enables jax.distributed)")
+    ap.add_argument("--num_processes", default=1, type=int)
+    ap.add_argument("--process_id", default=0, type=int)
     args = ap.parse_args(argv)
 
     import jax
@@ -46,6 +55,11 @@ def main(argv=None):
     jax.config.update("jax_compilation_cache_dir",
                       os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    multiprocess = bool(args.coordinator) and args.num_processes > 1
+    if multiprocess:
+        jax.distributed.initialize(coordinator_address=args.coordinator,
+                                   num_processes=args.num_processes,
+                                   process_id=args.process_id)
     import jax.numpy as jnp
     import numpy as np
 
@@ -103,21 +117,37 @@ def main(argv=None):
         pose2d = project_to_2d(cam3d, intr)
         return cam3d, pose2d, intr
 
-    bone_len = jnp.broadcast_to(jnp.asarray(CANONICAL_BONE_LEN), (B, 15))
+    bone_host = np.broadcast_to(np.asarray(CANONICAL_BONE_LEN),
+                                (B, 15)).astype(np.float32)
     out3d, out2d, outcam = [], [], []
     t0 = time.perf_counter()
     with mesh:
-        params_r = replicate(mesh, params)
-        bone_len = shard_batch(mesh, bone_len)
+        if multiprocess:
+            # global arrays assembled from per-process local rows; the
+            # fetch below is a cross-process (DCN) allgather
+            from jax.experimental import multihost_utils
+            from jax.sharding import NamedSharding, PartitionSpec
+            params_r = params  # host pytree, auto-replicated under jit
+            rows = B // args.num_processes
+            bone_len = jax.make_array_from_process_local_data(
+                NamedSharding(mesh, PartitionSpec("data")),
+                bone_host[args.process_id * rows:(args.process_id + 1) * rows],
+                (B, 15))
+            fetch = lambda x: np.asarray(
+                multihost_utils.process_allgather(x, tiled=True))
+        else:
+            params_r = replicate(mesh, params)
+            bone_len = shard_batch(mesh, jnp.asarray(bone_host))
+            fetch = np.asarray
         done = 0
         i = 0
         while done < args.n_poses:
             k = jax.random.fold_in(jax.random.PRNGKey(args.seed + 1), i)
             cam3d, pose2d, intr = synth_pairs(params_r, bone_len, k)
             take = min(B, args.n_poses - done)
-            out3d.append(np.asarray(cam3d)[:take])
-            out2d.append(np.asarray(pose2d)[:take])
-            outcam.append(np.asarray(intr)[:take])
+            out3d.append(fetch(cam3d)[:take])
+            out2d.append(fetch(pose2d)[:take])
+            outcam.append(fetch(intr)[:take])
             done += take
             i += 1
     dt = time.perf_counter() - t0
@@ -125,11 +155,15 @@ def main(argv=None):
     pose2d = np.concatenate(out2d)
     cams = np.concatenate(outcam)
     # n_devices is part of the sampling identity: shards fold their mesh
-    # position into the RNG key, so (seed, n_devices) pins the dataset
-    np.savez_compressed(args.out, pose3d=pose3d, pose2d=pose2d, cam=cams,
-                        seed=np.int64(args.seed), n_devices=np.int64(n_dev))
-    print(f"wrote {args.out}: {pose3d.shape[0]} poses in {dt:.1f}s "
-          f"({pose3d.shape[0] / dt:.0f} poses/s over {n_dev} device(s))")
+    # position into the RNG key, so (seed, GLOBAL n_devices) pins the
+    # dataset regardless of how many processes the devices span
+    if not multiprocess or args.process_id == 0:
+        np.savez_compressed(args.out, pose3d=pose3d, pose2d=pose2d, cam=cams,
+                            seed=np.int64(args.seed),
+                            n_devices=np.int64(n_dev))
+        print(f"wrote {args.out}: {pose3d.shape[0]} poses in {dt:.1f}s "
+              f"({pose3d.shape[0] / dt:.0f} poses/s over {n_dev} device(s)"
+              f"{f' / {args.num_processes} processes' if multiprocess else ''})")
 
 
 if __name__ == "__main__":
