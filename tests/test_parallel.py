@@ -648,3 +648,57 @@ def test_multiprocess_dcn_synthesis_matches_single_process(tmp_path):
     np.testing.assert_allclose(mp_d["pose2d"], sp_d["pose2d"],
                                rtol=1e-6, atol=1e-6)
     np.testing.assert_allclose(mp_d["cam"], sp_d["cam"], rtol=1e-6, atol=0)
+
+
+@pytest.mark.slow
+def test_multiprocess_dcn_training_matches_single_process(tmp_path):
+    """Round-4 VERDICT item-3 STRETCH: the PRODUCTION GAN epoch program
+    (gan/wgan.py::epoch_step) dp-sharded across 2 PROCESSES x 4 CPU devices
+    (jax.distributed over a localhost coordinator; the gradient all-reduce
+    crosses the process boundary, DCN-style) must reproduce the
+    single-process 8-device run: per-iteration Wasserstein/g_cost
+    trajectories and the fake buffer to reduction-order tolerance, final
+    params of all three nets to the Adam dead-unit bound (see
+    test_sharded_epoch_step_matches_single_device for the bound's origin)."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker = os.path.join(repo, "tests", "mp_train_worker.py")
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    def env_for(n_local):
+        env = dict(os.environ)
+        env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") +
+                            f" --xla_force_host_platform_device_count={n_local}")
+        env.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+        return env
+
+    mp_out = str(tmp_path / "mp_train.npz")
+    procs = [subprocess.Popen(
+        [sys.executable, worker, "--out", mp_out,
+         "--coordinator", f"localhost:{port}",
+         "--num_processes", "2", "--process_id", str(i)],
+        env=env_for(4), cwd=repo, stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT, text=True) for i in range(2)]
+    outs = [p.communicate(timeout=420)[0] for p in procs]
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, o[-3000:]
+
+    sp_out = str(tmp_path / "sp_train.npz")
+    sp = subprocess.run(
+        [sys.executable, worker, "--out", sp_out],
+        env=env_for(8), cwd=repo, capture_output=True, text=True,
+        timeout=420)
+    assert sp.returncode == 0, sp.stderr[-3000:]
+
+    mp_d, sp_d = np.load(mp_out), np.load(sp_out)
+    assert int(mp_d["n_devices"]) == int(sp_d["n_devices"]) == 8
+    for k in ("w3d", "w2d", "g_cost", "fake3d"):
+        np.testing.assert_allclose(mp_d[k], sp_d[k], rtol=1e-4, atol=1e-4)
+    for k in ("gen_params", "d3d_params", "d2d_params"):
+        np.testing.assert_allclose(mp_d[k], sp_d[k], rtol=1e-3, atol=5e-4)
