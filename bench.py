@@ -249,7 +249,10 @@ def _gan_iter_flops(B: int, dense: int) -> float:
     gen_fwd = tower_fwd(128, dense, 35)
     d3d_fwd = tower_fwd(30, dense, 1) + tower_fwd(48, dense, 1) + \
         2.0 * B * (2 * dense * 100 + 100 * 1)   # KCS + pose branches + merge
-    d2d_fwd = tower_fwd(32, dense, 1)
+    # Fk2DDiscriminator is a 4-layer MLP with one residual hop (32->d,
+    # 4x dxd, d->1; models/discriminators.py:40) — NOT a ResTower; its 4d^2
+    # term keeps this a true undercount and matches _video_iter_flops
+    d2d_fwd = 2.0 * B * (32 * dense + 4 * dense * dense + dense * 1)
 
     critic_updates = 2 * 2  # 3D + 2D, each doubled by flip
     per_critic = 9.0 * (d3d_fwd + d2d_fwd) / 2.0  # average the two critics
@@ -401,12 +404,27 @@ def check_regression(results: dict, nominals: dict = None,
 
 if __name__ == "__main__":
     import sys
+    checking = "--check" in sys.argv[1:]
+    if checking:
+        # refuse up front off-TPU: the nominals are real-chip measurements,
+        # and off-TPU the gan line carries no control_ratio — a CPU run
+        # would burn minutes then report a spurious "regression"
+        from dhaug_tpu.ops.fk_pallas import fk_pallas_supported
+        if not fk_pallas_supported():
+            print("bench.py --check requires the real TPU backend (the "
+                  "CHECK_NOMINALS bands are TPU measurements); run without "
+                  "--check for a plain measurement", file=sys.stderr)
+            sys.exit(2)
     res = main()
-    if "--check" in sys.argv[1:]:
+    if checking:
+        # check verdicts go to stderr: stdout stays JSON-lines-only so the
+        # driver's parse-the-LAST-line contract holds under --check too
         fails = check_regression(res)
         if fails:
-            print("PERF REGRESSION:\n  " + "\n  ".join(fails))
+            print("PERF REGRESSION:\n  " + "\n  ".join(fails),
+                  file=sys.stderr)
             sys.exit(1)
         print("perf check OK: all lines within bands "
               f"(training lines control-normalized, tol {CHECK_TOLERANCE:.0%};"
-              f" synthesis raw, tol {CHECK_TOLERANCE_RAW:.0%})")
+              f" synthesis raw, tol {CHECK_TOLERANCE_RAW:.0%})",
+              file=sys.stderr)

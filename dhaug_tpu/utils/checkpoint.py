@@ -159,6 +159,32 @@ def load_snapshot(path: str) -> dict:
     return load_ckpt(path)
 
 
+def resolve_posenet_weights(ckpt: dict, params: Any, batch_stats: Any):
+    """Graft a loaded snapshot's posenet weights onto freshly-initialized
+    ``(params, batch_stats)`` across ALL layouts this framework and the
+    reference write: 'state_dict' (the reference's run_baseline.py:64),
+    'model_pos' (run_Fk_GAN.py:176,181 — the layout the reference's own
+    evaluator crashes on, SURVEY §2.2), and the full-state 'pos_state' of
+    --snapshot/--resume checkpoints.  Shared by run_evaluate.py and
+    run_baseline.py's --pretrain warm-start so the supported layouts cannot
+    diverge between the two CLIs."""
+    saved = ckpt.get("state_dict", ckpt.get("model_pos"))
+    if saved is None and "pos_state" in ckpt:
+        # full-state resume checkpoint: the posenet lives in its NetState
+        pos_state = ckpt["pos_state"]
+        saved = pos_state.params
+        if getattr(pos_state, "batch_stats", None):
+            batch_stats = restore_into(batch_stats, pos_state.batch_stats)
+    if saved is None:
+        raise SystemExit(
+            f"unsupported checkpoint format: keys {sorted(ckpt)} (expected "
+            "'state_dict', 'model_pos', or a full-state 'pos_state')")
+    params = restore_into(params, saved)
+    if ckpt.get("batch_stats"):
+        batch_stats = restore_into(batch_stats, ckpt["batch_stats"])
+    return params, batch_stats
+
+
 def restore_into(template: Any, saved: Any) -> Any:
     """Graft saved arrays onto a freshly-initialized pytree ``template``
     (keeps aux static structure; validates leaf KEY PATHS and shapes).

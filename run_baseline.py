@@ -78,7 +78,8 @@ def main(argv=None):
         # warm-start fine-tuning: load the posenet weights, then TRAIN from
         # them (the reference factory's intent, model_pos_preparation.py:72-83
         # feeding the training loop at run_baseline.py:50)
-        from dhaug_tpu.utils.checkpoint import load_snapshot, restore_into
+        from dhaug_tpu.utils.checkpoint import (load_snapshot,
+                                                resolve_posenet_weights)
         from dhaug_tpu.utils.transplant import (is_torch_checkpoint,
                                                 load_torch_checkpoint,
                                                 transplant_posenet_state_dict)
@@ -87,15 +88,10 @@ def main(argv=None):
                 args.posenet_name, load_torch_checkpoint(args.evaluate),
                 params, batch_stats)
         else:
-            ckpt = load_snapshot(args.evaluate)
-            saved = ckpt.get("state_dict", ckpt.get("model_pos"))
-            if saved is None:
-                raise SystemExit(
-                    f"--pretrain checkpoint {args.evaluate} has no "
-                    f"'state_dict'/'model_pos' (keys: {sorted(ckpt)})")
-            params = restore_into(params, saved)
-            if ckpt.get("batch_stats"):
-                batch_stats = restore_into(batch_stats, ckpt["batch_stats"])
+            # same layout resolution as run_evaluate.py — including the
+            # full-state 'pos_state' of --snapshot/--resume checkpoints
+            params, batch_stats = resolve_posenet_weights(
+                load_snapshot(args.evaluate), params, batch_stats)
         print(f"==> Pretrained posenet loaded from {args.evaluate} "
               "(warm-start fine-tuning)")
 

@@ -35,7 +35,8 @@ def main(argv=None):
 
     from dhaug_tpu.models.factory import init_posenet, make_posenet
     from dhaug_tpu.train.posenet import evaluate, make_posenet_eval_step
-    from dhaug_tpu.utils.checkpoint import load_snapshot, restore_into
+    from dhaug_tpu.utils.checkpoint import (load_snapshot,
+                                            resolve_posenet_weights)
     from dhaug_tpu.utils.transplant import (is_torch_checkpoint,
                                             load_torch_checkpoint)
 
@@ -81,21 +82,7 @@ def main(argv=None):
             posenet_name, torch_state, params, batch_stats)
         ckpt = {"state_dict": params,
                 "batch_stats": batch_stats if batch_stats else None}
-    saved = ckpt.get("state_dict", ckpt.get("model_pos"))
-    if saved is None and "pos_state" in ckpt:
-        # full-state resume checkpoint (run_Fk_GAN --snapshot / --resume):
-        # the posenet lives in its NetState
-        pos_state = ckpt["pos_state"]
-        saved = pos_state.params
-        if getattr(pos_state, "batch_stats", None):
-            batch_stats = restore_into(batch_stats, pos_state.batch_stats)
-    if saved is None:
-        raise SystemExit(
-            f"unsupported checkpoint format: keys {sorted(ckpt)} (expected "
-            "'state_dict', 'model_pos', or a full-state 'pos_state')")
-    params = restore_into(params, saved)
-    if ckpt.get("batch_stats"):
-        batch_stats = restore_into(batch_stats, ckpt["batch_stats"])
+    params, batch_stats = resolve_posenet_weights(ckpt, params, batch_stats)
 
     forward, flip_forward = make_posenet_eval_step(model)
     if video:

@@ -127,7 +127,13 @@ def main(argv=None):
             # fetch below is a cross-process (DCN) allgather
             from jax.experimental import multihost_utils
             from jax.sharding import NamedSharding, PartitionSpec
-            params_r = params  # host pytree, auto-replicated under jit
+            # replicate the generator params ONCE as global arrays; passing
+            # the raw host pytree into the jitted loop would re-transfer
+            # ~24 MB (Gen_DenseDim=1000) across the mesh on EVERY dispatch
+            rep = NamedSharding(mesh, PartitionSpec())
+            params_r = jax.tree.map(
+                lambda x: jax.make_array_from_process_local_data(
+                    rep, np.asarray(x), np.shape(x)), params)
             rows = B // args.num_processes
             bone_len = jax.make_array_from_process_local_data(
                 NamedSharding(mesh, PartitionSpec("data")),

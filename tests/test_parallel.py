@@ -588,6 +588,48 @@ def test_sharded_synthesizer_keeps_both_pallas_kernels():
                                atol=1e-5)
 
 
+def _mp_env(n_local):
+    """Subprocess env with n_local virtual CPU devices + warm compile cache."""
+    import os
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") +
+                        f" --xla_force_host_platform_device_count={n_local}")
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+    return env
+
+
+def _spawn_coordinated(repo, argv_for, n_procs=2, n_local=4, attempts=3):
+    """Run n_procs jax.distributed workers joined over a localhost
+    coordinator and return their outputs.  The free port is picked by
+    bind-then-release, which is inherently racy (another process can grab
+    it before the coordinator binds) — so a run whose failure looks like a
+    bind/address clash retries on a fresh port instead of flaking."""
+    import socket
+    import subprocess
+    import sys
+
+    for attempt in range(attempts):
+        with socket.socket() as s:
+            s.bind(("localhost", 0))
+            port = s.getsockname()[1]
+        procs = [subprocess.Popen(
+            [sys.executable, *argv_for(i, port)],
+            env=_mp_env(n_local), cwd=repo, stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True) for i in range(n_procs)]
+        outs = [p.communicate(timeout=420)[0] for p in procs]
+        if all(p.returncode == 0 for p in procs):
+            return outs
+        combined = "\n".join(outs).lower()
+        if attempt < attempts - 1 and ("address already in use" in combined
+                                       or "failed to bind" in combined
+                                       or "errno 98" in combined):
+            continue
+        for p, o in zip(procs, outs):
+            assert p.returncode == 0, o[-3000:]
+    raise AssertionError("coordinator port kept clashing after "
+                         f"{attempts} attempts")
+
+
 @pytest.mark.slow
 def test_multiprocess_dcn_synthesis_matches_single_process(tmp_path):
     """Multi-host (DCN-style) validation of the pod-scale claim (round-4
@@ -600,41 +642,25 @@ def test_multiprocess_dcn_synthesis_matches_single_process(tmp_path):
     (seed, GLOBAL device count) pair pins the dataset regardless of the
     process topology."""
     import os
-    import socket
     import subprocess
     import sys
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     script = os.path.join(repo, "scripts", "synthesize_dataset.py")
-    with socket.socket() as s:
-        s.bind(("localhost", 0))
-        port = s.getsockname()[1]
-
-    def env_for(n_local):
-        env = dict(os.environ)
-        env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") +
-                            f" --xla_force_host_platform_device_count={n_local}")
-        env.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
-        return env
 
     common = ["--n_poses", "256", "--batch", "128", "--random_init", "true",
               "--Gen_DenseDim", "64", "--jax_platform", "cpu", "--seed", "3"]
     mp_out = str(tmp_path / "mp.npz")
-    procs = [subprocess.Popen(
-        [sys.executable, script, *common, "--out", mp_out,
-         "--coordinator", f"localhost:{port}",
-         "--num_processes", "2", "--process_id", str(i)],
-        env=env_for(4), cwd=repo, stdout=subprocess.PIPE,
-        stderr=subprocess.STDOUT, text=True) for i in range(2)]
-    outs = [p.communicate(timeout=420)[0] for p in procs]
-    for p, o in zip(procs, outs):
-        assert p.returncode == 0, o[-3000:]
+    outs = _spawn_coordinated(
+        repo, lambda i, port: [script, *common, "--out", mp_out,
+                               "--coordinator", f"localhost:{port}",
+                               "--num_processes", "2", "--process_id", str(i)])
     assert "2 processes" in outs[0] + outs[1]
 
     sp_out = str(tmp_path / "sp.npz")
     sp = subprocess.run(
         [sys.executable, script, *common, "--out", sp_out],
-        env=env_for(8), cwd=repo, capture_output=True, text=True,
+        env=_mp_env(8), cwd=repo, capture_output=True, text=True,
         timeout=420)
     assert sp.returncode == 0, sp.stderr[-3000:]
 
@@ -661,38 +687,22 @@ def test_multiprocess_dcn_training_matches_single_process(tmp_path):
     params of all three nets to the Adam dead-unit bound (see
     test_sharded_epoch_step_matches_single_device for the bound's origin)."""
     import os
-    import socket
     import subprocess
     import sys
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     worker = os.path.join(repo, "tests", "mp_train_worker.py")
-    with socket.socket() as s:
-        s.bind(("localhost", 0))
-        port = s.getsockname()[1]
-
-    def env_for(n_local):
-        env = dict(os.environ)
-        env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") +
-                            f" --xla_force_host_platform_device_count={n_local}")
-        env.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
-        return env
 
     mp_out = str(tmp_path / "mp_train.npz")
-    procs = [subprocess.Popen(
-        [sys.executable, worker, "--out", mp_out,
-         "--coordinator", f"localhost:{port}",
-         "--num_processes", "2", "--process_id", str(i)],
-        env=env_for(4), cwd=repo, stdout=subprocess.PIPE,
-        stderr=subprocess.STDOUT, text=True) for i in range(2)]
-    outs = [p.communicate(timeout=420)[0] for p in procs]
-    for p, o in zip(procs, outs):
-        assert p.returncode == 0, o[-3000:]
+    _spawn_coordinated(
+        repo, lambda i, port: [worker, "--out", mp_out,
+                               "--coordinator", f"localhost:{port}",
+                               "--num_processes", "2", "--process_id", str(i)])
 
     sp_out = str(tmp_path / "sp_train.npz")
     sp = subprocess.run(
         [sys.executable, worker, "--out", sp_out],
-        env=env_for(8), cwd=repo, capture_output=True, text=True,
+        env=_mp_env(8), cwd=repo, capture_output=True, text=True,
         timeout=420)
     assert sp.returncode == 0, sp.stderr[-3000:]
 

@@ -239,6 +239,37 @@ class TestCheckpoint:
         out = restore_into(t, good)
         np.testing.assert_allclose(out["encoder"]["w"], 1.0)
 
+    def test_resolve_posenet_weights_all_layouts(self):
+        """The shared layout resolver behind run_evaluate.py AND
+        run_baseline --pretrain must graft all three checkpoint layouts —
+        'state_dict' (reference run_baseline.py:64), 'model_pos'
+        (run_Fk_GAN.py:176,181), and the full-state 'pos_state' of
+        --snapshot/--resume checkpoints — and reject anything else."""
+        import pytest
+
+        from dhaug_tpu.train.state import NetState
+        from dhaug_tpu.utils.checkpoint import resolve_posenet_weights
+
+        fresh = lambda: ({"w": np.zeros((2, 3))},
+                         {"bn": {"mean": np.zeros((3,))}})
+        saved_p = {"w": np.ones((2, 3))}
+        saved_bs = {"bn": {"mean": np.full((3,), 2.0)}}
+
+        for layout in ("state_dict", "model_pos"):
+            p, bs = resolve_posenet_weights(
+                {layout: saved_p, "batch_stats": saved_bs}, *fresh())
+            np.testing.assert_allclose(p["w"], 1.0)
+            np.testing.assert_allclose(bs["bn"]["mean"], 2.0)
+
+        pos_state = NetState(params=saved_p, batch_stats=saved_bs,
+                             opt_state=None)
+        p, bs = resolve_posenet_weights({"pos_state": pos_state}, *fresh())
+        np.testing.assert_allclose(p["w"], 1.0)
+        np.testing.assert_allclose(bs["bn"]["mean"], 2.0)
+
+        with pytest.raises(SystemExit, match="unsupported checkpoint"):
+            resolve_posenet_weights({"something_else": saved_p}, *fresh())
+
 
 class TestReskin:
     def test_reskin_dataset_sets_template_lengths(self):
