@@ -240,10 +240,11 @@ def run_gan_epoch(gan: GanBundle, gt2d3d: PoseDataset, target_2d: PoseTarget,
                   "2d_d_real": "d2d_D_real", "2d_d_fake": "d2d_D_fake",
                   "2d_wasserstein": "d2d_Wasserstein_D",
                   "2d_d_cost": "d2d_D_cost"}
-        # critic tags on the GLOBAL %50 step grid (the reference logs when
-        # summary.train_iter_num % 50 == 0, model_fk_gan_train.py:223-228)
-        first = -iter_base % 50
-        for b in range(first, n_batches, 50):
+        # critic tags EVERY iteration — the reference's add_scalar calls are
+        # unconditional per critic update (model_fk_gan_train.py:225-230);
+        # the scalars are already host-side after the one packed fetch, so
+        # full-cadence logging costs no extra device round trips
+        for b in range(n_batches):
             it = iter_base + b
             for k2, tag in tag_of.items():
                 writer.add_scalar(f"train_G_iter_PoseFk/{tag}",

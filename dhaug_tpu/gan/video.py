@@ -502,7 +502,9 @@ def run_video_gan_epoch(gan: VideoGanBundle, gan_loader, batch_size: int,
         for mkey, tag in tag_of.items():
             if mkey in metrics:
                 epoch_sums.setdefault(tag, []).append(float(metrics[mkey]))
-        if writer is not None and summary.train_iter_num % 50 == 0:
+        # every iteration: the reference's critic add_scalar calls are
+        # unconditional per update (model_fk_gan_train.py:225-230)
+        if writer is not None:
             for mkey, tag in tag_of.items():
                 if mkey in metrics:
                     writer.add_scalar(f"train_G_iter_PoseFk/{tag}",
@@ -591,8 +593,10 @@ def _run_video_gan_epoch_scan(gan: VideoGanBundle, loader, batch_size: int,
                     writer.add_scalar("train_G_iter_PoseFk/G_cost",
                                       float(vals[b]), iter_base + int(b))
             else:
-                first = -iter_base % 50
-                for b in range(first, n_batches, 50):
+                # every iteration (the reference's critic add_scalar calls
+                # are unconditional, model_fk_gan_train.py:225-230); vals is
+                # already a host array from the packed fetch
+                for b in range(n_batches):
                     writer.add_scalar(f"train_G_iter_PoseFk/{tag}",
                                       float(vals[b]), iter_base + b)
 
